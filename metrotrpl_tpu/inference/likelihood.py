@@ -1,0 +1,402 @@
+"""Tempered Gaussian log-likelihood of parameter states.
+
+TPU re-architecture of the reference's per-measurement Python loop
+(reference trial_move_evaluation.py:9-166): all (chains x measurements)
+forward simulations run as ONE batched implicit solve, the IRF convolution is
+one grouped XLA convolution, and every dynamic-length trim of the reference
+(post_conv_trim, negative-count tolerance, force_min_y) becomes a masked
+fixed-shape op. Failures (NaN, depleted carriers, too many negative values)
+yield -inf log-likelihood exactly like the reference's exception paths.
+
+The evaluation returns the log-likelihood of every chain at EVERY ensemble
+temperature (a (chains, temps) matrix). This replaces the reference's
+``ll_funcs`` closures (trial_move_evaluation.py:150-156): tempering swaps
+need ll at two temperatures, and the matrix costs nothing next to the PDE
+solves.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metrotrpl_tpu.constants import NEGATIVE_FRAC_TOL
+from metrotrpl_tpu.ops.convolve import convolve_moments
+from metrotrpl_tpu.ops.interp import interp1d
+from metrotrpl_tpu.physics.models import beer_lambert
+from metrotrpl_tpu.solver.forward import ForwardPlan, make_forward_plan, solve_forward_batch
+
+
+def u_potential(x):
+    """Toy multi-well 1D potential for the 'pa' measurement type
+    (reference utils.py:41-57)."""
+    x = jnp.asarray(x)
+    base = 1 + jnp.sin(2 * jnp.pi * x)
+    u = jnp.where(x < -1.25, 1 * base,
+        jnp.where(x < -0.25, 2 * base,
+        jnp.where(x < 0.75, 3 * base,
+        jnp.where(x < 1.75, 4 * base, 5 * base))))
+    return jnp.where((x < -2) | (x > 2), jnp.inf, u)
+
+
+def search_c_grps(c_grps, i):
+    """First member of the constraint group containing i, else i
+    (reference utils.py:5-14)."""
+    for grp in c_grps or []:
+        if i in grp:
+            return grp[0]
+    return i
+
+
+class LikelihoodPlan(NamedTuple):
+    """Static data for batched likelihood evaluation (host numpy)."""
+    kind: str                   # "pde" | "pa"
+    fwd: Optional[ForwardPlan]
+    n_meas: int
+    n_params: int
+    # parameter machinery
+    param_names: tuple
+    units: np.ndarray           # (P,)
+    param_idx: dict             # name -> index
+    # experiment data (M, nt_exp), padded
+    exp_times: np.ndarray
+    exp_vals: np.ndarray
+    exp_uncs: np.ndarray
+    exp_mask: np.ndarray
+    # per-measurement wiring
+    sigma: np.ndarray           # (M,) model uncertainty
+    scale_idx: np.ndarray       # (M,) state index of _s factor, -1 if none
+    fluence_idx: np.ndarray     # (M,) state index of _f factor, -1 if none
+    absp_idx: np.ndarray        # (M,) state index of _a factor, -1 if none
+    # initial conditions
+    ini_mode: str               # "density" | "fluence"
+    init_profiles: np.ndarray   # density mode: (M, nx); fluence mode: (M, 3)
+    # IRF machinery
+    has_irf: np.ndarray         # (M,) bool
+    irf_tables: np.ndarray      # (M, nk_irf, 3)
+    res_t: np.ndarray           # (M, R) half-step resample times
+    n_conv: np.ndarray          # (M,) actual convolved-point counts
+    force_min_y: bool
+    log_y: bool
+
+
+def _fittable_index_map(spec, n_meas, param_idx, base):
+    """Per-measurement state index of the shared fittable parameter."""
+    out = np.full(n_meas, -1, dtype=np.int64)
+    if spec is None:
+        return out
+    _, inds, c_grps, _ = spec
+    for i in inds:
+        name = f"{base}{search_c_grps(c_grps, int(i))}"
+        out[int(i)] = param_idx[name]
+    return out
+
+
+def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
+                          irf_tables=None, hmax=None, scheme="sdirk3",
+                          newton_iters=2, refine=1):
+    """Assemble the static likelihood plan from parsed config + data.
+
+    sim_info : grid dict (lengths, nx, meas_types, num_meas)
+    e_data : (times, vals, uncs) lists from get_data (log-transformed when
+        MCMC_fields['log_y']).
+    iniPar : (M, nx) density profiles or (M, <=3) fluence specs.
+    irf_tables : dict wavelength -> (I_table, t_irf) from make_I_tables.
+    """
+    n_meas = sim_info["num_meas"]
+    meas_types = sim_info["meas_types"]
+    names = list(param_info["names"])
+    n_params = len(names)
+    param_idx = {n: i for i, n in enumerate(names)}
+    units = np.array(
+        [param_info["unit_conversions"].get(n, 1) for n in names], dtype=float)
+
+    times, vals, uncs = e_data
+    if any(m == "pa" for m in meas_types):
+        if not all(m == "pa" for m in meas_types):
+            raise NotImplementedError("Mixed pa + PDE measurements unsupported")
+        kind = "pa"
+    else:
+        kind = "pde"
+
+    nt_exp = max(len(t) for t in times)
+    exp_times = np.zeros((n_meas, nt_exp))
+    exp_vals = np.zeros((n_meas, nt_exp))
+    exp_uncs = np.ones((n_meas, nt_exp))
+    exp_mask = np.zeros((n_meas, nt_exp), dtype=bool)
+    for m in range(n_meas):
+        k = len(times[m])
+        exp_times[m, :k] = times[m]
+        # pad times monotonically so interp/searchsorted stay well-defined
+        if k < nt_exp:
+            last = times[m][-1] if k else 0.0
+            exp_times[m, k:] = last + 1.0 + np.arange(nt_exp - k)
+        exp_vals[m, :k] = vals[m]
+        exp_uncs[m, :k] = uncs[m]
+        exp_mask[m, :k] = True
+
+    sigma_spec = MCMC_fields.get("model_uncertainty")
+    if sigma_spec is None:
+        # likel2move_ratio path (reference sim_utils.py:191-196)
+        tm = param_info["trial_move"]
+        base_move = max(
+            tm[n] if param_info["active"][n] else 0 for n in names)
+        l2v = MCMC_fields["likel2move_ratio"]
+        sigma_spec = {m: base_move * l2v[m] for m in set(meas_types)}
+    if isinstance(sigma_spec, dict):
+        sigma = np.array([sigma_spec[m] for m in meas_types], dtype=float)
+    else:
+        sigma = np.full(n_meas, float(sigma_spec))
+
+    scale_idx = _fittable_index_map(
+        MCMC_fields.get("scale_factor"), n_meas, param_idx, "_s")
+    fluence_idx = _fittable_index_map(
+        MCMC_fields.get("fittable_fluences"), n_meas, param_idx, "_f")
+    absp_idx = _fittable_index_map(
+        MCMC_fields.get("fittable_absps"), n_meas, param_idx, "_a")
+
+    fwd = None
+    has_irf = np.zeros(n_meas, dtype=bool)
+    irf_mats = np.zeros((n_meas, 1, 3))
+    res_t = np.zeros((n_meas, 3))
+    n_conv = np.zeros(n_meas, dtype=np.int64)
+
+    if kind == "pde":
+        fwd = make_forward_plan(
+            sim_info["lengths"], sim_info["nx"], meas_types, times,
+            hmax=hmax if hmax is not None else MCMC_fields.get("hmax", 4.0),
+            model=MCMC_fields["model"], scheme=scheme,
+            newton_iters=newton_iters, refine=refine)
+
+        irf_spec = MCMC_fields.get("irf_convolution", None)
+        if irf_spec is not None:
+            irf_tables = irf_tables or {}
+            nk_irf = max(
+                (len(irf_tables[int(w)][0]) for w in irf_spec if w > 0),
+                default=1)
+            # resample grids: arange(0, t_end + dt/4, dt/2) per measurement
+            res_list = []
+            for m in range(n_meas):
+                w = int(irf_spec[m])
+                if w > 0:
+                    table, t_irf = irf_tables[w]
+                    dt_irf = float(np.mean(np.diff(t_irf)))
+                    r = np.arange(0, times[m][-1] + dt_irf / 4, dt_irf / 2)
+                    if r[-1] > times[m][-1]:
+                        r[-1] = times[m][-1]
+                    if len(r) % 2 == 0:  # need 2*nk + 1 points
+                        r = r[:-1]
+                    res_list.append(r)
+                    has_irf[m] = True
+                else:
+                    res_list.append(np.array([0.0, 1.0, 2.0]))
+            R = max(len(r) for r in res_list)
+            if R % 2 == 0:
+                R += 1
+            res_t = np.zeros((n_meas, R))
+            irf_mats = np.zeros((n_meas, nk_irf, 3))
+            for m in range(n_meas):
+                r = res_list[m]
+                res_t[m, :len(r)] = r
+                # pad with continuing half-steps (harmless; masked by n_conv)
+                if len(r) < R:
+                    step = r[-1] - r[-2] if len(r) > 1 else 1.0
+                    res_t[m, len(r):] = r[-1] + step * np.arange(
+                        1, R - len(r) + 1)
+                n_conv[m] = (len(r) - 1) // 2 + 1
+                w = int(irf_spec[m])
+                if w > 0:
+                    table = irf_tables[w][0]
+                    irf_mats[m, :len(table)] = table
+
+    init_profiles = np.asarray(iniPar, dtype=float)
+    if MCMC_fields["ini_mode"] == "fluence" and init_profiles.shape[1] < 3:
+        pad = np.ones((n_meas, 3 - init_profiles.shape[1]))
+        init_profiles = np.concatenate([init_profiles, pad], axis=1)
+
+    return LikelihoodPlan(
+        kind=kind,
+        fwd=fwd,
+        n_meas=n_meas,
+        n_params=n_params,
+        param_names=tuple(names),
+        units=units,
+        param_idx=param_idx,
+        exp_times=exp_times,
+        exp_vals=exp_vals,
+        exp_uncs=exp_uncs,
+        exp_mask=exp_mask,
+        sigma=sigma,
+        scale_idx=scale_idx,
+        fluence_idx=fluence_idx,
+        absp_idx=absp_idx,
+        ini_mode=MCMC_fields["ini_mode"],
+        init_profiles=init_profiles,
+        has_irf=has_irf,
+        irf_tables=irf_mats,
+        res_t=res_t,
+        n_conv=n_conv,
+        force_min_y=bool(MCMC_fields.get("force_min_y", 0)),
+        log_y=bool(MCMC_fields["log_y"]),
+    )
+
+
+def _gather_or_one(states, idx):
+    """states (..., P), idx (M,) with -1 meaning 'no parameter' -> (..., M)."""
+    safe = jnp.maximum(idx, 0)
+    vals = states[..., safe]
+    return jnp.where(idx >= 0, vals, jnp.ones_like(vals))
+
+
+def make_eval_logll(plan, dtype=jnp.float64):
+    """Build the batched evaluation function.
+
+    Returns eval_logll(states, temps) with
+        states : (K, P) parameter states in entry units
+        temps : (Kt,) tempering temperatures
+    -> dict with
+        'logll_T'  : (K, Kt) total log-likelihood of each state at each T
+        'per_meas' : (K, M, Kt) per-measurement contributions
+    """
+    M = plan.n_meas
+    P = plan.n_params
+    units = jnp.asarray(plan.units, dtype)
+    sigma2 = jnp.asarray(plan.sigma, dtype) ** 2              # (M,)
+    exp_times = jnp.asarray(plan.exp_times, dtype)
+    exp_vals = jnp.asarray(plan.exp_vals, dtype)
+    exp_uncs2 = 2.0 * jnp.asarray(plan.exp_uncs, dtype) ** 2
+    exp_mask = jnp.asarray(plan.exp_mask)
+    scale_idx = jnp.asarray(plan.scale_idx)
+    fluence_idx = jnp.asarray(plan.fluence_idx)
+    absp_idx = jnp.asarray(plan.absp_idx)
+
+    if plan.kind == "pa":
+        def eval_pa(states, temps):
+            u = u_potential(states[:, 0])                     # (K,)
+            ll = -u[:, None] / temps[None, :]                 # (K, Kt)
+            return {"logll_T": ll, "per_meas": ll[:, None, :]}
+        return eval_pa
+
+    fwd = plan.fwd
+    nx = fwd.nx
+    x_centers = jnp.asarray(fwd.x_centers, dtype)             # (M, nx)
+    dx = jnp.asarray(fwd.dx, dtype)
+    dt = jnp.asarray(fwd.dt, dtype)
+    out_idx = jnp.asarray(fwd.out_idx)
+    is_trpl = jnp.asarray(fwd.is_trpl)
+    init_profiles = jnp.asarray(plan.init_profiles, dtype)
+    has_irf = jnp.asarray(plan.has_irf)
+    irf_tables = jnp.asarray(plan.irf_tables, dtype)
+    res_t = jnp.asarray(plan.res_t, dtype)
+    n_conv = jnp.asarray(plan.n_conv)
+    R = plan.res_t.shape[1]
+    n_conv_pts = (R - 1) // 2 + 1
+    conv_t_base = res_t[:, ::2]                               # (M, n_conv_pts)
+
+    name_list = list(plan.param_names)
+    model = fwd.model
+
+    def eval_logll(states, temps):
+        K = states.shape[0]
+        model_states = states * units[None, :]                # (K, P)
+
+        # ---- expand to the (K*M) simulation batch ----
+        def tile_m(a):  # (M, ...) -> (K*M, ...)
+            return jnp.tile(a, (K,) + (1,) * (a.ndim - 1))
+
+        def repeat_k(a):  # (K, ...) -> (K*M, ...) interleaved per chain
+            return jnp.repeat(a, M, axis=0)
+
+        raw = {}
+        for n in ("n0", "p0", "mu_n", "mu_p", "ks", "Cn", "Cp", "Sf", "Sb",
+                  "tauN", "tauP", "eps", "Tm", "kC", "Nt", "tauE"):
+            if n in plan.param_idx:
+                raw[n] = repeat_k(model_states[:, plan.param_idx[n]])
+
+        f_mult = _gather_or_one(states, fluence_idx)          # (K, M)
+        a_mult = _gather_or_one(states, absp_idx)
+        s_fact = _gather_or_one(states, scale_idx)
+        scale_shift = jnp.log10(s_fact).reshape(K * M)        # (K*M,)
+
+        if plan.ini_mode == "fluence":
+            fluence = (init_profiles[None, :, 0] * 1e-14) * f_mult  # [nm^-2]
+            alpha = (init_profiles[None, :, 1] * 1e-7) * a_mult     # [nm^-1]
+            direction = jnp.tile(init_profiles[None, :, 2], (K, 1))
+            init_dN = beer_lambert(
+                fluence.reshape(K * M, 1), alpha.reshape(K * M, 1),
+                tile_m(x_centers), direction.reshape(K * M, 1))
+        else:
+            init_dN = tile_m(init_profiles) * 1e-21           # [cm^-3]->[nm^-3]
+
+        sol = solve_forward_batch(
+            init_dN, raw, tile_m(dx), tile_m(dt), tile_m(out_idx),
+            tile_m(is_trpl), model=model, scheme=fwd.scheme,
+            newton_iters=fwd.newton_iters)                    # (K*M, nt)
+
+        b_exp_t = tile_m(exp_times)
+        b_exp_mask = tile_m(exp_mask)
+
+        # ---- IRF convolution path (computed for every row, selected) ----
+        b_res_t = tile_m(res_t)
+        resampled = jax.vmap(interp1d)(b_res_t, b_exp_t, sol)
+        resampled = jnp.nan_to_num(resampled, nan=0.0)
+        conv = convolve_moments(resampled, tile_m(irf_tables))  # (K*M, ncp)
+        conv_pts = jnp.arange(n_conv_pts)[None, :]
+        conv_valid = conv_pts < tile_m(n_conv)[:, None]
+        # max-shift: time origin moves to the peak of the convolved signal
+        conv_masked = jnp.where(conv_valid, conv, -jnp.inf)
+        shift_i = jnp.argmax(conv_masked, axis=1)
+        b_conv_t = tile_m(conv_t_base)
+        t_shift = jnp.take_along_axis(b_conv_t, shift_i[:, None], axis=1)
+        conv_t_shifted = b_conv_t - t_shift
+        t_last = jnp.take_along_axis(
+            b_conv_t, (tile_m(n_conv) - 1)[:, None], axis=1)
+        conv_fail = (t_last - t_shift)[:, 0] <= 0.0  # peak at the end
+        # re-interpolate onto experimental times; truncate to the convolved span
+        sol_irf = jax.vmap(interp1d)(b_exp_t, conv_t_shifted, conv)
+        irf_valid = b_exp_t < (t_last - t_shift)
+        # guard: padded conv region must not pollute the interp — conv_t rows
+        # are increasing over the full R so interp stays well-defined; values
+        # beyond n_conv are extrapolations masked by irf_valid.
+
+        b_has_irf = tile_m(has_irf)[:, None]
+        sol_cmp = jnp.where(b_has_irf, sol_irf, sol)
+        valid = jnp.where(b_has_irf, irf_valid & b_exp_mask, b_exp_mask)
+        fail = jnp.where(tile_m(has_irf), conv_fail, False)
+
+        # ---- negative-value tolerance (reference NEGATIVE_FRAC_TOL) ----
+        n_valid = jnp.sum(valid, axis=1)
+        n_neg = jnp.sum((sol_cmp < 0) & valid, axis=1)
+        fail = fail | (n_neg >= NEGATIVE_FRAC_TOL * n_valid) | (n_valid == 0)
+        sol_cmp = jnp.abs(sol_cmp)
+
+        b_vals = tile_m(exp_vals)
+        b_uncs2 = tile_m(exp_uncs2)
+
+        # ---- force_min_y (reference utils.set_min_y) ----
+        if plan.force_min_y:
+            vals_min = jnp.min(
+                jnp.where(valid, b_vals, jnp.inf), axis=1)
+            min_y = 10.0 ** (vals_min - scale_shift)
+            i_final = jnp.sum((sol_cmp > min_y[:, None]) & valid, axis=1)
+            pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+            clamp = valid & (pos >= i_final[:, None])
+            sol_cmp = jnp.where(clamp, min_y[:, None], sol_cmp)
+
+        # ---- tempered Gaussian log-likelihood ----
+        log_sol = jnp.log10(sol_cmp)
+        err2 = (log_sol + scale_shift[:, None] - b_vals) ** 2
+        err2 = jnp.where(valid, err2, 0.0)
+        b_sigma2 = tile_m(sigma2)                             # (K*M,)
+        # ll(T) = -sum err^2 / (sigma^2 T + 2 u^2)
+        denom = (b_sigma2[:, None, None] * temps[None, None, :]
+                 + b_uncs2[:, :, None])                       # (K*M, nt, Kt)
+        ll = -jnp.sum(err2[:, :, None] / denom, axis=1)       # (K*M, Kt)
+        ll = jnp.where(jnp.isnan(ll), -jnp.inf, ll)
+        ll = jnp.where(fail[:, None], -jnp.inf, ll)
+
+        per_meas = ll.reshape(K, M, -1)
+        return {"logll_T": jnp.sum(per_meas, axis=1), "per_meas": per_meas}
+
+    return eval_logll

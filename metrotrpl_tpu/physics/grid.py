@@ -1,0 +1,104 @@
+"""Static space/time grid planning (host-side numpy, trace-time constants).
+
+The reference uses an adaptive LSODA integrator capped at hmax
+(reference sim_utils.py:246-277, forward_solver.py:163-165). The TPU stepper
+instead walks a fixed step grid built here: each output interval is split to
+respect hmax, with a geometric ramp of small steps at early times where the
+initial Beer-Lambert transient is fast. Everything is computed at trace time,
+so all shapes are static and the stepper compiles to a single ``lax.scan``.
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class SpaceGrid(NamedTuple):
+    thickness: float
+    nx: int
+    dx: float
+    x_centers: np.ndarray  # (nx,) cell-center coordinates
+
+
+def make_space_grid(thickness, nx):
+    dx = thickness / nx
+    x = np.linspace(dx / 2, thickness - dx / 2, nx)
+    return SpaceGrid(float(thickness), int(nx), float(dx), x)
+
+
+class TimeGrid(NamedTuple):
+    """Solver step plan.
+
+    dt : (n_steps,) step sizes [ns]; t_k = sum(dt[:k])
+    out_idx : (nt,) index into the step-state sequence for each output time
+        (0 = initial state).
+    t_solver : (n_steps + 1,) the solver knot times (diagnostics).
+    """
+    dt: np.ndarray
+    out_idx: np.ndarray
+    t_solver: np.ndarray
+
+
+def plan_time_grid(t_out, hmax=4.0, h0=1e-3, growth=1.25, refine=1):
+    """Build a solver step grid that lands exactly on every output time.
+
+    Parameters
+    ----------
+    t_out : increasing output times starting at 0.
+    hmax : maximum step [ns] (reference's solver hmax).
+    h0, growth : initial step and geometric growth factor of the early-time
+        ramp; the ramp caps the step envelope until it reaches hmax.
+    refine : extra uniform subdivision factor of every interval
+        (accuracy/convergence knob).
+    """
+    t_out = np.asarray(t_out, dtype=np.float64)
+    if t_out[0] != 0:
+        raise ValueError("Grid error - times must start at t=0")
+    if len(t_out) < 2:
+        raise ValueError("Need at least two output times")
+
+    # Envelope: tentative ramp times 0 < r_1 < r_2 < ... with
+    # r_{k+1} - r_k = min(h0 * growth^k, hmax).
+    t_final = float(t_out[-1])
+    ramp = [0.0]
+    h = h0
+    while ramp[-1] < t_final:
+        ramp.append(ramp[-1] + h)
+        h = min(h * growth, hmax)
+    ramp = np.array(ramp)
+
+    knots = [0.0]
+    out_idx = np.zeros(len(t_out), dtype=np.int64)
+    for j in range(len(t_out) - 1):
+        a, b = float(t_out[j]), float(t_out[j + 1])
+        if b <= a:
+            raise ValueError("Output times must be strictly increasing")
+        # substeps: honor both the ramp envelope and hmax
+        n_ramp = int(np.sum((ramp > a) & (ramp < b)))
+        n_sub = max(int(np.ceil((b - a) / hmax)), n_ramp + 1, 1) * int(refine)
+        step = (b - a) / n_sub
+        for s in range(1, n_sub + 1):
+            knots.append(a + step * s)
+        out_idx[j + 1] = len(knots) - 1
+
+    t_solver = np.array(knots)
+    dt = np.diff(t_solver)
+    return TimeGrid(dt=dt, out_idx=out_idx, t_solver=t_solver)
+
+
+def pad_time_grid(tg, n_steps, nt):
+    """Pad a TimeGrid to static sizes shared across a measurement batch.
+
+    Padded steps repeat the final dt (extra compute, no effect on outputs);
+    padded output slots point at step 0 and must be masked by the caller.
+    """
+    pad_steps = n_steps - len(tg.dt)
+    pad_out = nt - len(tg.out_idx)
+    if pad_steps < 0 or pad_out < 0:
+        raise ValueError("Padding target smaller than grid")
+    dt = np.concatenate([tg.dt, np.full(pad_steps, tg.dt[-1])])
+    out_idx = np.concatenate([tg.out_idx, np.zeros(pad_out, dtype=np.int64)])
+    t_solver = np.concatenate(
+        [tg.t_solver, tg.t_solver[-1] + np.cumsum(np.full(pad_steps, tg.dt[-1]))]
+    )
+    return TimeGrid(dt=dt, out_idx=out_idx, t_solver=t_solver)

@@ -1,0 +1,244 @@
+"""Scaled excess-density drift-diffusion-recombination models (JAX).
+
+Equations are the reference's carrier models (reference
+forward_solver.py:277-329 "std", :374-418 "traps") rewritten in excess
+densities and normalized units:
+
+    dN = N - n0,  dP = P - p0          (excess carrier densities)
+    y0 = dN / ns, y1 = dP / ns          (ns = density scale, ~max initial dN)
+    y2 = E / (lam * dx * ns)            (lam = q_C / (eps * eps0))
+
+This is exact algebra, not an approximation: NP - n0*p0 =
+ns^2 * (n0t*y1 + p0t*y0 + y0*y1) with n0t = n0/ns, p0t = p0/ns. The payoff
+on TPU is that every state component stays O(1), so the stepper runs in
+float32 without catastrophic cancellation in the recombination and
+surface-flux terms.
+
+State layout: y has shape (..., nx, C). Cell i holds
+(dN_i, dP_i, E_{i+1}) for the std model (C=3) and
+(dN_i, Ntrap_i, dP_i, E_{i+1}) for the traps model (C=4). The interior
+E edges are 1..nx-1; E_0 and E_nx are exactly conserved by the dynamics
+(the boundary currents cancel: Jn+Jp = 0 at both surfaces) and remain at
+their initial value 0, so they are not part of the state. The last cell's
+E slot is a dummy with zero dynamics.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from metrotrpl_tpu.constants import eps0, kB, q_C
+
+N_COMP = {"std": 3, "traps": 4}
+
+
+class ScaledParams(NamedTuple):
+    """Per-simulation scaled coefficients consumed by the RHS kernels."""
+    n0t: jnp.ndarray       # n0 / ns
+    p0t: jnp.ndarray       # p0 / ns
+    drift_n: jnp.ndarray   # mu_n * lam * dx * ns
+    drift_p: jnp.ndarray   # mu_p * lam * dx * ns
+    diff_n: jnp.ndarray    # mu_n * kB * Tm
+    diff_p: jnp.ndarray    # mu_p * kB * Tm
+    ks_s: jnp.ndarray      # ks * ns
+    cn_s: jnp.ndarray      # Cn * ns^2
+    cp_s: jnp.ndarray      # Cp * ns^2
+    sf: jnp.ndarray        # Sf
+    sb: jnp.ndarray        # Sb
+    tauN: jnp.ndarray
+    tauP: jnp.ndarray
+    inv_dx: jnp.ndarray    # 1 / dx
+    # traps-model extras (zero/one placeholders for std)
+    kc_s: jnp.ndarray      # kC * ns
+    nt_s: jnp.ndarray      # Nt / ns
+    inv_tauE: jnp.ndarray  # 1 / tauE
+
+
+def make_scaled_params(raw, dx, ns):
+    """Build :class:`ScaledParams` from raw model-unit parameters.
+
+    ``raw`` maps name -> scalar (or batched array) in model units
+    (nm, V, ns): n0, p0, mu_n, mu_p, ks, Cn, Cp, Sf, Sb, tauN, tauP, eps,
+    Tm, and optionally kC, Nt, tauE.
+    """
+    lam = q_C / (raw["eps"] * eps0)
+    one = jnp.ones_like(jnp.asarray(raw["p0"]))
+    return ScaledParams(
+        n0t=raw["n0"] / ns,
+        p0t=raw["p0"] / ns,
+        drift_n=raw["mu_n"] * lam * dx * ns,
+        drift_p=raw["mu_p"] * lam * dx * ns,
+        diff_n=raw["mu_n"] * kB * raw["Tm"],
+        diff_p=raw["mu_p"] * kB * raw["Tm"],
+        ks_s=raw["ks"] * ns,
+        cn_s=raw["Cn"] * ns * ns,
+        cp_s=raw["Cp"] * ns * ns,
+        sf=raw["Sf"] * one,
+        sb=raw["Sb"] * one,
+        tauN=raw["tauN"] * one,
+        tauP=raw["tauP"] * one,
+        inv_dx=one / dx,
+        kc_s=raw.get("kC", 0.0) * ns,
+        nt_s=raw.get("Nt", 0.0) / ns,
+        inv_tauE=one / raw.get("tauE", 1.0),
+    )
+
+
+def _excess_product(dN, dP, p):
+    """(N*P - n0*p0) / ns^2, computed without cancellation."""
+    return p.n0t * dP + p.p0t * dN + dN * dP
+
+
+def _fluxes(dN, dP, E_int, p):
+    """Scaled edge currents (Jn/ns, Jp/ns) at the nx+1 edges."""
+    M = _excess_product(dN, dP, p)
+    Ntot = p.n0t + dN
+    Ptot = p.p0t + dP
+
+    s_front = p.sf * M[..., :1] / (Ntot[..., :1] + Ptot[..., :1])
+    s_back = p.sb * M[..., -1:] / (Ntot[..., -1:] + Ptot[..., -1:])
+
+    Ne = 0.5 * (Ntot[..., :-1] + Ntot[..., 1:])
+    Pe = 0.5 * (Ptot[..., :-1] + Ptot[..., 1:])
+    jn_int = (p.drift_n * Ne * E_int
+              + p.diff_n * (dN[..., 1:] - dN[..., :-1]) * p.inv_dx)
+    jp_int = (p.drift_p * Pe * E_int
+              - p.diff_p * (dP[..., 1:] - dP[..., :-1]) * p.inv_dx)
+
+    jn = jnp.concatenate([s_front, jn_int, -s_back], axis=-1)
+    jp = jnp.concatenate([-s_front, jp_int, s_back], axis=-1)
+    return jn, jp, M, Ntot, Ptot
+
+
+def _bulk_recombination(M, Ntot, Ptot, p):
+    """Scaled Auger + radiative + SRH recombination rate R/ns."""
+    rate = (p.cn_s * Ntot + p.cp_s * Ptot + p.ks_s
+            + 1.0 / (p.tauN * Ptot + p.tauP * Ntot))
+    return rate * M
+
+
+def rhs_std(y, p):
+    """dy/dt for the std model. y: (..., nx, 3)."""
+    dN = y[..., 0]
+    dP = y[..., 1]
+    E_int = y[..., :-1, 2]
+
+    jn, jp, M, Ntot, Ptot = _fluxes(dN, dP, E_int, p)
+    R = _bulk_recombination(M, Ntot, Ptot, p)
+
+    ddN = (jn[..., 1:] - jn[..., :-1]) * p.inv_dx - R
+    ddP = -(jp[..., 1:] - jp[..., :-1]) * p.inv_dx - R
+    dE_int = -(jn[..., 1:-1] + jp[..., 1:-1]) * p.inv_dx
+    dE = jnp.concatenate([dE_int, jnp.zeros_like(dE_int[..., :1])], axis=-1)
+    return jnp.stack([ddN, ddP, dE], axis=-1)
+
+
+def rhs_traps(y, p):
+    """dy/dt for the shallow-trap model. y: (..., nx, 4)."""
+    dN = y[..., 0]
+    Ntr = y[..., 1]
+    dP = y[..., 2]
+    E_int = y[..., :-1, 3]
+
+    jn, jp, M, Ntot, Ptot = _fluxes(dN, dP, E_int, p)
+    R = _bulk_recombination(M, Ntot, Ptot, p)
+    trap = p.kc_s * Ntot * (p.nt_s - Ntr)
+    detrap = Ntr * p.inv_tauE
+
+    ddN = (jn[..., 1:] - jn[..., :-1]) * p.inv_dx - R + detrap - trap
+    dNtr = trap - detrap
+    ddP = -(jp[..., 1:] - jp[..., :-1]) * p.inv_dx - R
+    dE_int = -(jn[..., 1:-1] + jp[..., 1:-1]) * p.inv_dx
+    dE = jnp.concatenate([dE_int, jnp.zeros_like(dE_int[..., :1])], axis=-1)
+    return jnp.stack([ddN, dNtr, ddP, dE], axis=-1)
+
+
+RHS = {"std": rhs_std, "traps": rhs_traps}
+
+
+def beer_lambert(fluence, alpha, x_centers, direction=1.0):
+    """Beer-Lambert initial excess-carrier profile [nm^-3]; ``direction``
+    < 0 excites from the back surface (reference forward_solver.py:105-113)."""
+    prof = fluence * alpha * jnp.exp(-alpha * x_centers)
+    flipped = prof[..., ::-1]
+    return jnp.where(direction < 0, flipped, prof)
+
+
+def initial_state(init_dN, ns, model="std", dtype=None):
+    """Scaled initial state from an excess-density profile [nm^-3].
+
+    dN = dP initially, so the charge-separation field starts at exactly 0
+    (reference forward_solver.py:120-122 computes it from the cumulative
+    excess-charge integral, which vanishes for equal excesses).
+    """
+    y0 = init_dN / ns
+    if dtype is not None:
+        y0 = y0.astype(dtype)
+    zeros = jnp.zeros_like(y0)
+    if model == "std":
+        return jnp.stack([y0, y0, zeros], axis=-1)
+    if model == "traps":
+        return jnp.stack([y0, zeros, y0, zeros], axis=-1)
+    raise ValueError(f"Invalid model {model}")
+
+
+def observables_std(y, p, dx, model="std"):
+    """Scaled observables from a state: (pl_t, trts_t).
+
+    pl_t = integral of the scaled excess product; multiply by
+    ``observable_multipliers(...)[0]`` for TRPL in [cm^-2 s^-1].
+    trts_t likewise for TRTS. The integral is the reference's
+    trapezoid-with-half-edge-cells scheme, which reduces exactly to
+    dx * sum over cell-centered values (reference forward_solver.py:258-264).
+    """
+    dN = y[..., 0]
+    dP = y[..., 2] if model == "traps" else y[..., 1]
+    M = _excess_product(dN, dP, p)
+    pl_t = dx * jnp.sum(M, axis=-1)
+    # photoconductivity ~ mu_n dN + mu_p dP; express via diff coeffs to stay
+    # in already-scaled parameters: mu = diff / (kB * Tm) is undone in the
+    # multiplier, so just integrate (diff_n * dN + diff_p * dP).
+    # ScaledParams fields must broadcast against (..., nx) — e.g. (B, 1)
+    # for a batched solve.
+    trts_t = dx * jnp.sum(p.diff_n * dN + p.diff_p * dP, axis=-1)
+    return pl_t, trts_t
+
+
+def observable_multipliers(raw, ns):
+    """Linear factors mapping scaled observables to measurement units.
+
+    TRPL: pl_cm = pl_t * ks * ns^2 * 1e23   [cm^-2 s^-1]
+    TRTS: trts  = trts_t / (kB * Tm) * q_C * ns * 1e9
+    """
+    pl_mult = raw["ks"] * ns * ns * 1e23
+    trts_mult = q_C * ns * 1e9 / (kB * raw["Tm"])
+    return pl_mult, trts_mult
+
+
+def efield_init(N, P, n0, p0, eps, dx, corner_E=0.0):
+    """Unscaled initial E field (parity helper; see oracle.efield_init)."""
+    rho = (P - p0) - (N - n0)
+    E = corner_E + q_C / (eps * eps0) * dx * jnp.cumsum(rho, axis=-1)
+    pad = jnp.full(E.shape[:-1] + (1,), corner_E, dtype=E.dtype)
+    return jnp.concatenate([pad, E], axis=-1)
+
+
+def scaled_to_raw_state(y, ns, n0, p0, lam, dx, model="std"):
+    """Convert a scaled state back to the reference's flat [N, P, E] /
+    [N, Ntrap, P, E] layout (float64 test utility)."""
+    e_scale = lam * dx * ns
+    if model == "std":
+        N = y[..., 0] * ns + n0
+        P = y[..., 1] * ns + p0
+        E_int = y[..., :-1, 2] * e_scale
+        zero = np.zeros(E_int.shape[:-1] + (1,))
+        E = np.concatenate([zero, E_int, zero], axis=-1)
+        return np.concatenate([N, P, E], axis=-1)
+    N = y[..., 0] * ns + n0
+    Ntr = y[..., 1] * ns
+    P = y[..., 2] * ns + p0
+    E_int = y[..., :-1, 3] * e_scale
+    zero = np.zeros(E_int.shape[:-1] + (1,))
+    E = np.concatenate([zero, E_int, zero], axis=-1)
+    return np.concatenate([N, Ntr, P, E], axis=-1)

@@ -16,6 +16,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize pins JAX_PLATFORMS=axon (TPU); the config
+# update below is what actually forces CPU for the test suite.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,142 @@
+"""Forward solver accuracy tests: SDIRK/PCR stepper vs the float64 LSODA
+oracle, plus analytic-limit physics contracts (reference
+test_forward_solver.py strategy: diffusion flattening, LI SRH / radiative
+decay constants)."""
+
+import numpy as np
+import pytest
+
+from metrotrpl_tpu.oracle import solve_reference
+from metrotrpl_tpu.oracle.scipy_reference import beer_lambert as bl_np
+from metrotrpl_tpu.solver.forward import solve_single
+
+UC = {"n0": 1e-21, "p0": 1e-21, "mu_n": 1e5, "mu_p": 1e5, "ks": 1e12,
+      "Cn": 1e33, "Cp": 1e33, "Sf": 1e-2, "Sb": 1e-2}
+
+
+def staub_params(**over):
+    base = {"n0": 1e8, "p0": 3e15, "mu_n": 20, "mu_p": 20, "ks": 4.8e-11,
+            "Cn": 4.4e-29, "Cp": 4.4e-29, "Sf": 10, "Sb": 10,
+            "tauN": 511, "tauP": 871, "eps": 10, "Tm": 300}
+    base.update(over)
+    return {k: v * UC.get(k, 1) for k, v in base.items()}
+
+
+def _ic(thickness, nx, fluence_cm=2.12e11, alpha_cm=6e4):
+    dx = thickness / nx
+    x = np.linspace(dx / 2, thickness - dx / 2, nx)
+    return bl_np(fluence_cm * 1e-14, alpha_cm * 1e-7, x)
+
+
+@pytest.mark.parametrize("scheme,tol", [("sdirk3", 3e-5), ("trbdf2", 1e-4)])
+def test_matches_lsoda_staub_thin(scheme, tol):
+    """log10 PL agreement with the reference-math LSODA solve on the staub
+    311nm curve — far below likelihood significance (~1e-3)."""
+    thickness, nx = 311.0, 64
+    params = staub_params()
+    init_dN = _ic(thickness, nx)
+    t_out = np.linspace(0, 2000, 201)
+    ref = solve_reference(init_dN, thickness, nx, t_out, params)
+    mine = solve_single(init_dN, params, thickness, nx, t_out, scheme=scheme)
+    err = np.abs(np.log10(mine) - np.log10(ref))
+    assert err.max() < tol, f"max log10 err {err.max():.2e}"
+
+
+def test_matches_lsoda_thick_high_fluence():
+    """2000nm sample at 100x fluence — stronger drift/field coupling."""
+    thickness, nx = 2000.0, 64
+    params = staub_params()
+    init_dN = _ic(thickness, nx, fluence_cm=2.12e13)
+    t_out = np.linspace(0, 1000, 101)
+    ref = solve_reference(init_dN, thickness, nx, t_out, params)
+    mine = solve_single(init_dN, params, thickness, nx, t_out)
+    err = np.abs(np.log10(mine) - np.log10(ref))
+    assert err.max() < 2e-4, f"max log10 err {err.max():.2e}"
+
+
+def test_matches_lsoda_trts():
+    thickness, nx = 311.0, 48
+    params = staub_params()
+    init_dN = _ic(thickness, nx)
+    t_out = np.linspace(0, 500, 101)
+    ref = solve_reference(init_dN, thickness, nx, t_out, params, meas="TRTS")
+    mine = solve_single(init_dN, params, thickness, nx, t_out, meas="TRTS")
+    err = np.abs(np.log10(mine) - np.log10(ref))
+    assert err.max() < 5e-5
+
+
+def test_matches_lsoda_traps_model():
+    thickness, nx = 311.0, 48
+    params = staub_params()
+    params.update({"kC": 1e-11 * 1e12 / 1e-21 * 1e-21,  # nm^3/ns scale
+                   "Nt": 1e15 * 1e-21, "tauE": 300.0})
+    params["kC"] = 5.0  # [nm^3 / ns] — modest capture rate
+    init_dN = _ic(thickness, nx)
+    t_out = np.linspace(0, 500, 101)
+    ref = solve_reference(init_dN, thickness, nx, t_out, params, model="traps")
+    mine = solve_single(init_dN, params, thickness, nx, t_out, model="traps")
+    err = np.abs(np.log10(mine) - np.log10(ref))
+    assert err.max() < 1e-4
+
+
+def test_li_srh_decay_constant():
+    """Low injection, SRH only: PL ~ exp(-2 t / tauN)? No — excess decays
+    as exp(-t/tauN), PL ∝ p0*dN so PL decays with tau = tauN
+    (reference test_forward_solver.py LI SRH contract)."""
+    thickness, nx = 311.0, 32
+    tauN = 450.0
+    params = staub_params(mu_n=0.01, mu_p=0.01, ks=0, Cn=0, Cp=0, Sf=0, Sb=0,
+                          tauN=tauN, tauP=tauN)
+    params["ks"] = 1e-20  # tiny but nonzero so PL is measurable
+    init_dN = np.full(nx, 1e11 * 1e-21)  # uniform, dN << p0
+    t_out = np.linspace(0, 1000, 101)
+    mine = solve_single(init_dN, params, thickness, nx, t_out)
+    # fit decay constant on log PL
+    slope = np.polyfit(t_out, np.log(mine), 1)[0]
+    tau_fit = -1.0 / slope
+    assert abs(tau_fit - tauN) / tauN < 2e-3
+
+
+def test_li_radiative_decay_constant():
+    """Low injection, radiative only: tau = 1 / (ks * p0)."""
+    thickness, nx = 311.0, 32
+    params = staub_params(mu_n=0.01, mu_p=0.01, Cn=0, Cp=0, Sf=0, Sb=0,
+                          tauN=1e9, tauP=1e9)
+    ks, p0 = params["ks"], params["p0"]
+    tau_expect = 1.0 / (ks * p0)
+    init_dN = np.full(nx, 1e11 * 1e-21)
+    t_out = np.linspace(0, tau_expect, 51)
+    mine = solve_single(init_dN, params, thickness, nx, t_out)
+    slope = np.polyfit(t_out, np.log(mine), 1)[0]
+    tau_fit = -1.0 / slope
+    assert abs(tau_fit - tau_expect) / tau_expect < 2e-3
+
+
+def test_diffusion_flattens_profile():
+    """Diffusion only: total PL conserved while the profile flattens
+    (integrated radiative rate approaches the flat-profile limit)."""
+    thickness, nx = 311.0, 32
+    # ks tiny: radiative acts as a passive probe, not a carrier sink
+    params = staub_params(ks=1e-20, Cn=0, Cp=0, Sf=0, Sb=0,
+                          tauN=1e9, tauP=1e9, n0=1e-10, p0=1e-10)
+    # sharp initial profile, strong diffusion (flattens in < 1 ns)
+    init_dN = _ic(thickness, nx, alpha_cm=3e5)
+    t_out = np.linspace(0, 50, 41)
+    mine = solve_single(init_dN, params, thickness, nx, t_out)
+    mean_dn = init_dN.mean()
+    # with negligible n0/p0 and recombination, PL -> ks * dN_flat^2 * L
+    pl_flat = params["ks"] * mean_dn ** 2 * thickness * 1e23
+    assert mine[0] > 1.5 * pl_flat  # sharp profile has higher integral
+    np.testing.assert_allclose(mine[-1], pl_flat, rtol=1e-2)
+
+
+def test_depletion_clamps_tail():
+    """A sim that decays to (numerical) zero gets its tail clamped at min_y
+    instead of going negative/NaN (reference forward_solver.py:190-193)."""
+    thickness, nx = 311.0, 32
+    params = staub_params(Sf=1e6, Sb=1e6, tauN=1, tauP=1)
+    init_dN = _ic(thickness, nx, fluence_cm=1e9)
+    t_out = np.linspace(0, 2000, 101)
+    mine = solve_single(init_dN, params, thickness, nx, t_out)
+    assert np.all(mine > 0)
+    assert np.all(np.isfinite(mine))
