@@ -12,3 +12,8 @@ from metrotrpl_tpu.inference.moves import (  # noqa: F401
     make_trial_move,
     approve_move,
 )
+from metrotrpl_tpu.inference.metropolis import (  # noqa: F401
+    build_mh_kernel,
+    metro,
+    run_mh,
+)

@@ -1,0 +1,298 @@
+"""Metropolis-Hastings walk with parallel tempering, compiled on-device.
+
+TPU re-architecture of the reference driver (reference metropolis.py:42-267):
+
+* The whole (propose -> batched solve -> likelihood -> accept -> swap) step
+  is one pure function of (carry, iteration index); a checkpoint window of
+  iterations runs as a single ``lax.scan``.
+* All chains advance simultaneously — proposals vmapped, the (chains x
+  measurements) forward solves batched into one implicit-solver scan.
+* Tempering swaps (reference :204-261) use the precomputed
+  (chains x temperatures) log-likelihood matrix instead of re-evaluating
+  ll_funcs: a swap permutes two rows of the tiny state/ll arrays.
+* RNG is a keyed stream: iteration k, chain c uses
+  fold_in(fold_in(seed, k), c). Resume-from-checkpoint is bit-exact by
+  construction (no generator state to restore). This intentionally departs
+  from the reference's shared-Generator scheme, where all MPI ranks draw
+  IDENTICAL random numbers each iteration (metropolis.py:296,410-411) —
+  i.e. correlated chains; our chains draw independently.
+"""
+
+import os
+from time import perf_counter
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metrotrpl_tpu.constants import MSG_FREQ
+from metrotrpl_tpu.inference.likelihood import build_likelihood_plan, make_eval_logll
+from metrotrpl_tpu.inference.moves import build_move_plan, make_trial_move
+
+
+class MHKernel(NamedTuple):
+    """Compiled window runner + static run info."""
+    run_window: callable      # (states, ll_T, k0, key) -> (states, ll_T, hist)
+    init_ll: callable         # states -> ll_T
+    n_chains: int
+    temps: np.ndarray
+    window: int               # iterations per compiled window
+
+
+def build_mh_kernel(like_plan, move_plan, temps, base_trial_move, temper_freq,
+                    do_tempering, window, dtype=jnp.float64,
+                    shard_batch=None):
+    """Construct the compiled MH window function.
+
+    temps : (K,) tempering temperatures (one chain per temperature).
+    base_trial_move : (P,) per-parameter move widths (0 = frozen).
+    window : static number of iterations per lax.scan (checkpoint window).
+    shard_batch : optional callable applied to the batched states before
+        evaluation (used by the parallel layer to insert sharding
+        constraints).
+    """
+    K = len(temps)
+    temps_j = jnp.asarray(temps, dtype)
+    base_move = jnp.asarray(base_trial_move, dtype)
+    widths = jnp.sqrt(temps_j)[:, None] * base_move[None, :]  # (K, P)
+    eval_logll = make_eval_logll(like_plan, dtype=dtype)
+    own = jnp.arange(K)
+
+    def eval_states(states):
+        if shard_batch is not None:
+            states = shard_batch(states)
+        return eval_logll(states, temps_j)["logll_T"]  # (K, K)
+
+    def propose(states, key):
+        keys = jax.random.split(key, K)
+        return jax.vmap(
+            lambda s, w, k: make_trial_move(s, w, k, move_plan)
+        )(states, widths, keys)
+
+    def swap_round(carry, key):
+        """(n_chains - 1) sequential random adjacent-pair swap attempts
+        (reference metropolis.py:204-261 math)."""
+        states, ll_T, swap_att, swap_acc = carry
+
+        def body(j, c):
+            states, ll_T, swap_att, swap_acc, key = c
+            key, k1, k2 = jax.random.split(key, 3)
+            i = jax.random.randint(k1, (), 0, K - 1)
+            bi_ui = ll_T[i, i]
+            bj_uj = ll_T[i + 1, i + 1]
+            bi_uj = ll_T[i + 1, i]
+            bj_ui = ll_T[i, i + 1]
+            logratio = bi_ui + bj_uj - bi_uj - bj_ui
+            accept = jax.random.uniform(k2, (), dtype) < jnp.exp(-logratio)
+            perm = own.at[i].set(jnp.where(accept, i + 1, i))
+            perm = perm.at[i + 1].set(jnp.where(accept, i, i + 1))
+            states = states[perm]
+            ll_T = ll_T[perm]
+            swap_att = swap_att.at[i].add(1)
+            swap_acc = swap_acc.at[i].add(accept.astype(swap_acc.dtype))
+            return states, ll_T, swap_att, swap_acc, key
+
+        states, ll_T, swap_att, swap_acc, _ = jax.lax.fori_loop(
+            0, K - 1, body, (states, ll_T, swap_att, swap_acc, key))
+        return states, ll_T, swap_att, swap_acc
+
+    def one_iter(carry, k):
+        states, ll_T, swap_att, swap_acc, base_key = carry
+        key_iter = jax.random.fold_in(base_key, k)
+        k_prop, k_acc, k_swap = jax.random.split(key_iter, 3)
+
+        new_states = propose(states, k_prop)
+        new_ll_T = eval_states(new_states)
+
+        logratio = (jnp.take_along_axis(new_ll_T, own[:, None], axis=1)
+                    - jnp.take_along_axis(ll_T, own[:, None], axis=1))[:, 0]
+        logratio = jnp.where(jnp.isnan(logratio), -jnp.inf, logratio)
+        u = jax.random.uniform(k_acc, (K,), dtype)
+        accept = u < jnp.exp(logratio)
+
+        states = jnp.where(accept[:, None], new_states, states)
+        ll_T = jnp.where(accept[:, None], new_ll_T, ll_T)
+
+        if do_tempering:
+            do_swap = (k % temper_freq) == 0
+            states, ll_T, swap_att, swap_acc = jax.lax.cond(
+                do_swap,
+                lambda c: swap_round(c, k_swap),
+                lambda c: c,
+                (states, ll_T, swap_att, swap_acc))
+
+        ll_own = jnp.take_along_axis(ll_T, own[:, None], axis=1)[:, 0]
+        return ((states, ll_T, swap_att, swap_acc, base_key),
+                (states, ll_own, accept))
+
+    @jax.jit
+    def run_window(states, ll_T, k0, base_key):
+        swap_att = jnp.zeros(K, dtype=jnp.int32)
+        swap_acc = jnp.zeros(K, dtype=jnp.int32)
+        ks = k0 + jnp.arange(window)
+        carry, hist = jax.lax.scan(
+            one_iter, (states, ll_T, swap_att, swap_acc, base_key), ks)
+        states, ll_T, swap_att, swap_acc, _ = carry
+        return states, ll_T, swap_att, swap_acc, hist
+
+    @jax.jit
+    def init_ll(states):
+        return eval_states(states)
+
+    return MHKernel(run_window=run_window, init_ll=init_ll, n_chains=K,
+                    temps=np.asarray(temps), window=window)
+
+
+def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
+           export_path="", dtype=jnp.float64, shard_batch=None,
+           starting_iter=0, need_initial_state=True):
+    """Host driver: windows of compiled iterations with checkpointing
+    (reference metro() loop structure, metropolis.py:373-463).
+
+    ensemble : io.ensemble.Ensemble (mutated in place: H, latest_iter).
+    """
+    ef = ensemble.ensemble_fields
+    num_iters = ef["num_iters"]
+    checkpoint_freq = ef.get("checkpoint_freq") or num_iters
+    temps = np.asarray(ef["_T"], dtype=float)
+    K = len(temps)
+    clock0 = perf_counter()
+
+    ef["_rng_seed"] = seed
+    base_key = jax.random.PRNGKey(seed % (2 ** 63))
+
+    H = ensemble.H
+    states = jnp.asarray(H.states[:, :, max(starting_iter - 1, 0)].copy(),
+                         dtype)
+    if need_initial_state:
+        logger.info("Simulating initial state:")
+
+    window = min(checkpoint_freq, num_iters)
+    kernel = build_mh_kernel(
+        like_plan, move_plan, temps, ef["base_trial_move"],
+        ef.get("temper_freq", 10), ef["do_parallel_tempering"],
+        window=window, dtype=dtype, shard_batch=shard_batch)
+
+    ll_T = kernel.init_ll(states)
+    if need_initial_state:
+        H.loglikelihood[:, 0] = np.asarray(
+            jnp.take_along_axis(ll_T, jnp.arange(K)[:, None], axis=1))[:, 0]
+        starting_iter = 1
+
+    k = starting_iter
+    while k < num_iters:
+        n_this = min(window, num_iters - k)
+        logger.info(f"Simulating from {k} to {k + n_this}")
+        states, ll_T, swap_att, swap_acc, hist = kernel.run_window(
+            states, ll_T, jnp.asarray(k), base_key)
+        h_states, h_ll, h_accept = (np.asarray(h) for h in hist)
+        # scan emits `window` iterations; keep the first n_this
+        H.states[:, :, k:k + n_this] = h_states[:n_this].transpose(1, 2, 0)
+        H.loglikelihood[:, k:k + n_this] = h_ll[:n_this].T
+        H.accept[:, k:k + n_this] = h_accept[:n_this].T
+        H.swap_attempts += np.asarray(swap_att)
+        H.swap_accept += np.asarray(swap_acc)
+        k += n_this
+        ensemble.latest_iter = k
+        if k < num_iters:
+            logger.info(f"Saving checkpoint at k={k}")
+            ensemble.checkpoint(
+                os.path.join(ef["output_path"], export_path))
+        if k % MSG_FREQ < window:
+            for m in range(K):
+                logger.info(
+                    f"Iter {k} chain {m} state: {H.states[m, :, k - 1]} "
+                    f"logll {H.loglikelihood[m, k - 1]}")
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rate = 100 * H.swap_accept[:-1] / np.maximum(H.swap_attempts[:-1], 1)
+    logger.info(
+        f"Swap accept rate: {H.swap_accept} accepted of "
+        f"{H.swap_attempts} attempts ({rate} %)")
+    logger.info(f"Total walk took {perf_counter() - clock0} s")
+    ensemble.checkpoint(os.path.join(ef["output_path"], export_path))
+    return ensemble
+
+
+def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
+          export_path="", **kwargs):
+    """Top-level MH inference entry point (reference metropolis.py:283
+    signature). Builds plans from parsed config + data, runs the walk,
+    writes GUI-loadable checkpoints."""
+    from metrotrpl_tpu.config.data_io import make_dir
+    from metrotrpl_tpu.io.ensemble import Ensemble, load_checkpoint
+    from metrotrpl_tpu.io.logging import start_logging, stop_logging
+    from metrotrpl_tpu.ops.convolve import make_I_tables
+
+    make_dir(MCMC_fields["output_path"])
+    logger, handler = start_logging(
+        log_dir=MCMC_fields["output_path"],
+        name=kwargs.get("logger_name", "Ensemble0"), verbose=verbose)
+
+    load_ckpt = MCMC_fields.get("load_checkpoint", None)
+    num_iters = MCMC_fields["num_iters"]
+    starting_iter = 0
+    if load_ckpt is None:
+        ensemble = Ensemble(param_info, sim_info, MCMC_fields, num_iters,
+                            verbose)
+        need_initial_state = True
+    else:
+        ensemble = load_checkpoint(
+            os.path.join(MCMC_fields["output_path"], load_ckpt))
+        if ("starting_iter" in MCMC_fields
+                and MCMC_fields["starting_iter"] < ensemble.latest_iter):
+            starting_iter = MCMC_fields["starting_iter"]
+            # rewind: drop history past starting_iter, then grow to the new
+            # total. (The reference stops at the truncation and would index
+            # out of bounds when the walk continues past it —
+            # metropolis.py:346-348; fixed here.)
+            ensemble.H.extend(starting_iter)
+            ensemble.H.extend(num_iters)
+            ensemble.ensemble_fields["num_iters"] = num_iters
+        else:
+            starting_iter = ensemble.latest_iter
+            ensemble.H.extend(num_iters)
+            ensemble.ensemble_fields["num_iters"] = num_iters
+        need_initial_state = False
+
+    ef = ensemble.ensemble_fields
+    ef["_init_params"] = iniPar
+    ef["_times"], ef["_vals"], ef["_uncs"] = e_data
+    for i, unc in enumerate(ef["_uncs"]):
+        logger.info(f"{i} exp unc max: {np.amax(unc)} avg: {np.mean(unc)}")
+
+    irf_tables = {}
+    if ef.get("irf_convolution", None) is not None:
+        irfs = {}
+        irf_dir = kwargs.get("irf_dir", "IRFs")
+        for w in ef["irf_convolution"]:
+            if w > 0 and int(w) not in irfs:
+                irfs[int(w)] = np.loadtxt(
+                    os.path.join(irf_dir, f"irf_{int(w)}nm.csv"),
+                    delimiter=",")
+        irf_tables = make_I_tables(irfs)
+    ef["_IRF_tables"] = irf_tables
+
+    mcmc_for_plan = dict(MCMC_fields)
+    mcmc_for_plan.setdefault("model_uncertainty",
+                             ensemble.unique_fields[0].get(
+                                 "model_uncertainty"))
+    like_plan = build_likelihood_plan(
+        sim_info, param_info, mcmc_for_plan, e_data, iniPar,
+        irf_tables=irf_tables,
+        scheme=kwargs.get("scheme", "sdirk3"),
+        newton_iters=kwargs.get("newton_iters", 2),
+        refine=kwargs.get("refine", 1))
+    move_plan = build_move_plan(param_info, MCMC_fields)
+
+    logger.info(f"Sim info: {sim_info}")
+    seed = kwargs.get("seed", 235817049752375780)
+    dtype = kwargs.get("dtype", jnp.float64)
+    run_mh(ensemble, like_plan, move_plan, logger, seed=seed,
+           export_path=export_path, dtype=dtype,
+           shard_batch=kwargs.get("shard_batch"),
+           starting_iter=starting_iter,
+           need_initial_state=need_initial_state)
+    stop_logging(logger, handler, 0)
+    return ensemble

@@ -9,9 +9,16 @@ from metrotrpl_tpu.ops import (
     block_tridiag_jacobian,
     block_tridiag_matvec,
     inv_small,
-    pcr_solve,
-    thomas_solve,
 )
+from metrotrpl_tpu.ops import pcr_solve as _pcr_eager
+from metrotrpl_tpu.ops import thomas_solve as _thomas_eager
+
+# Always call the solvers under jit: that is how library code invokes them
+# (inside traced steppers), and eager-mode dispatch of the C=4 block ops
+# triggers a heap-corruption bug in jax 0.9.0's CPU runtime (malloc abort;
+# reproduced with a bare pad+einsum sequence, not specific to this code).
+pcr_solve = jax.jit(_pcr_eager)
+thomas_solve = jax.jit(_thomas_eager)
 
 
 def _random_system(rng, batch, n, C, dominance=4.0):

@@ -1,0 +1,228 @@
+"""Likelihood-layer tests: batched eval semantics, tempering matrix,
+failure -> -inf channels, scale factors, pa toy type (reference
+test_eval_trial_move.py contracts, fixture-style)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metrotrpl_tpu.inference.likelihood import (
+    build_likelihood_plan,
+    make_eval_logll,
+    search_c_grps,
+    u_potential,
+)
+from metrotrpl_tpu.oracle import solve_reference
+from metrotrpl_tpu.oracle.scipy_reference import beer_lambert as bl
+
+UC = {"n0": 1e-21, "p0": 1e-21, "mu_n": 1e5, "mu_p": 1e5, "ks": 1e12,
+      "Cn": 1e33, "Cp": 1e33, "Sf": 1e-2, "Sb": 1e-2}
+NAMES = ["n0", "p0", "mu_n", "mu_p", "ks", "Cn", "Cp", "Sf", "Sb",
+         "tauN", "tauP", "eps", "Tm"]
+TRUE = {"n0": 1e8, "p0": 3e15, "mu_n": 20, "mu_p": 20, "ks": 4.8e-11,
+        "Cn": 4.4e-29, "Cp": 4.4e-29, "Sf": 10, "Sb": 10,
+        "tauN": 511, "tauP": 871, "eps": 10, "Tm": 300}
+
+
+def _param_info(extra_names=(), extra=None):
+    names = list(NAMES) + list(extra_names)
+    pi = {
+        "names": names,
+        "unit_conversions": dict(UC),
+        "do_log": {n: 1 for n in names},
+        "active": {n: 1 for n in names},
+        "init_guess": {**TRUE, **(extra or {})},
+        "prior_dist": {n: (1e-30, 1e30) for n in names},
+        "trial_move": {n: 0.01 for n in names},
+    }
+    return pi
+
+
+def _synth(nx=24, thickness=311.0, nt=41, t_end=1000.0, sigma=1.0):
+    dx = thickness / nx
+    x = np.linspace(dx / 2, thickness - dx / 2, nx)
+    t = np.linspace(0, t_end, nt)
+    ic = bl(2.12e11 * 1e-14, 6e4 * 1e-7, x)
+    pm = {k: v * UC.get(k, 1) for k, v in TRUE.items()}
+    pl = solve_reference(ic, thickness, nx, t, pm)
+    vals = np.log10(pl)
+    uncs = np.full(nt, 0.05)
+    sim_info = {"lengths": [thickness], "nx": [nx],
+                "meas_types": ["TRPL"], "num_meas": 1}
+    mcmc = {"ini_mode": "fluence", "model": "std", "log_y": 1,
+            "model_uncertainty": sigma}
+    e_data = ([t], [vals], [uncs])
+    iniPar = np.array([[2.12e11, 6e4, 1]])
+    return sim_info, mcmc, e_data, iniPar
+
+
+def _state(pi, **over):
+    vals = {**TRUE, **over}
+    return jnp.asarray([[vals.get(n, pi["init_guess"].get(n, 1.0))
+                         for n in pi["names"]]])
+
+
+def test_true_params_give_near_zero_residual():
+    sim_info, mcmc, e_data, iniPar = _synth()
+    pi = _param_info()
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
+    ev = make_eval_logll(plan)
+    out = ev(_state(pi), jnp.asarray([1.0]))
+    # data generated from these params: residual == solver-vs-oracle error
+    assert out["logll_T"].shape == (1, 1)
+    assert float(out["logll_T"][0, 0]) > -1e-4
+
+
+def test_manual_residual_value_matches():
+    """Pinned-math check: logll == -sum(err^2/(sigma^2 T + 2 unc^2)) with
+    err from our own forward solve (the reference pins absolute values,
+    test_eval_trial_move.py:79; we pin against the closed formula)."""
+    from metrotrpl_tpu.solver.forward import solve_single
+    sim_info, mcmc, e_data, iniPar = _synth(sigma=0.7)
+    pi = _param_info()
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
+    ev = make_eval_logll(plan)
+    over = {"tauN": 400.0}
+    T = 3.0
+    out = ev(_state(pi, **over), jnp.asarray([1.0, T]))
+
+    pm = {k: v * UC.get(k, 1) for k, v in {**TRUE, **over}.items()}
+    nx, thickness = 24, 311.0
+    dx = thickness / nx
+    x = np.linspace(dx / 2, thickness - dx / 2, nx)
+    ic = bl(2.12e11 * 1e-14, 6e4 * 1e-7, x)
+    sol = solve_single(ic, pm, thickness, nx, e_data[0][0])
+    err2 = (np.log10(sol) - e_data[1][0]) ** 2
+    for j, temp in enumerate([1.0, T]):
+        expect = -np.sum(err2 / (0.7 ** 2 * temp + 2 * e_data[2][0] ** 2))
+        np.testing.assert_allclose(float(out["logll_T"][0, j]), expect,
+                                   rtol=1e-8)
+
+
+def test_time_cutoff_halves_logll():
+    """Halving the compared window ~halves the summed residual (reference
+    test_eval_trial_move.py:145-208 contract)."""
+    sim_info, mcmc, e_data, iniPar = _synth(nt=41)
+    pi = _param_info()
+    t, v, u = e_data
+    e_half = ([t[0][:21]], [v[0][:21]], [u[0][:21]])
+    sim_half = dict(sim_info)
+    plan_full = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
+    plan_half = build_likelihood_plan(sim_half, pi, mcmc, e_half, iniPar)
+    st = _state(pi, tauN=300.0)
+    temps = jnp.asarray([1.0])
+    ll_full = float(make_eval_logll(plan_full)(st, temps)["logll_T"][0, 0])
+    ll_half = float(make_eval_logll(plan_half)(st, temps)["logll_T"][0, 0])
+    assert ll_half > ll_full  # fewer residual terms -> larger (less negative)
+
+
+def test_scale_factor_drives_logll_to_zero():
+    """A fitted scale factor equal to the data offset nulls the residual
+    (reference test_eval_trial_move.py:210-279 contract)."""
+    sim_info, mcmc, e_data, iniPar = _synth()
+    shift = 0.8  # data multiplied by 10^0.8
+    t, v, u = e_data
+    e_shift = ([t[0]], [v[0] + shift], [u[0]])
+    mcmc = dict(mcmc)
+    mcmc["scale_factor"] = [0.1, np.array([0]), None, [1.0]]
+    pi = _param_info(extra_names=["_s0"], extra={"_s0": 1.0})
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_shift, iniPar)
+    ev = make_eval_logll(plan)
+    temps = jnp.asarray([1.0])
+    ll_wrong = float(ev(_state(pi, _s0=1.0), temps)["logll_T"][0, 0])
+    ll_right = float(ev(_state(pi, _s0=10 ** shift), temps)["logll_T"][0, 0])
+    assert ll_right > ll_wrong
+    assert ll_right > -1e-4
+
+
+def test_fittable_fluence_changes_initial_condition():
+    sim_info, mcmc, e_data, iniPar = _synth()
+    mcmc = dict(mcmc)
+    mcmc["fittable_fluences"] = [0.1, np.array([0]), None, [1.0]]
+    pi = _param_info(extra_names=["_f0"], extra={"_f0": 1.0})
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
+    ev = make_eval_logll(plan)
+    temps = jnp.asarray([1.0])
+    ll_1 = float(ev(_state(pi, _f0=1.0), temps)["logll_T"][0, 0])
+    ll_3 = float(ev(_state(pi, _f0=3.0), temps)["logll_T"][0, 0])
+    assert ll_1 > -1e-4          # matching fluence reproduces data
+    assert ll_3 < ll_1 - 10      # 3x fluence badly off
+
+
+def test_nan_failure_gives_neg_inf():
+    """A solve that produces NaN maps to -inf logll (the reference's
+    exception -> -inf channel, trial_move_evaluation.py:70-72,159-166).
+    The implicit stepper is robust enough that merely unphysical params
+    (negative lifetimes) give finite-but-terrible logll rather than NaN,
+    so drive the channel with a NaN parameter directly."""
+    sim_info, mcmc, e_data, iniPar = _synth()
+    pi = _param_info()
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
+    ev = make_eval_logll(plan)
+    st = _state(pi, tauN=np.nan)
+    ll = float(ev(st, jnp.asarray([1.0]))["logll_T"][0, 0])
+    assert ll == -np.inf
+    # and unphysical params still get strongly penalized, not accepted
+    ll_bad = float(ev(_state(pi, tauN=-1.0, tauP=-1.0),
+                      jnp.asarray([1.0]))["logll_T"][0, 0])
+    assert ll_bad < -1e3
+
+
+def test_batched_chains_match_individual_evals():
+    sim_info, mcmc, e_data, iniPar = _synth()
+    pi = _param_info()
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
+    ev = make_eval_logll(plan)
+    temps = jnp.asarray([1.0, 2.0])
+    s1 = _state(pi, tauN=300.0)
+    s2 = _state(pi, tauN=700.0)
+    both = jnp.concatenate([s1, s2], axis=0)
+    out_b = np.asarray(ev(both, temps)["logll_T"])
+    out_1 = np.asarray(ev(s1, temps)["logll_T"])
+    out_2 = np.asarray(ev(s2, temps)["logll_T"])
+    np.testing.assert_allclose(out_b[0], out_1[0], rtol=1e-12)
+    np.testing.assert_allclose(out_b[1], out_2[0], rtol=1e-12)
+
+
+def test_pa_toy_measurement():
+    """'pa' type: logll = -U(x)/T (reference utils.py U + eval path)."""
+    sim_info = {"lengths": [1], "nx": [1], "meas_types": ["pa"],
+                "num_meas": 1}
+    pi = {
+        "names": ["x0"],
+        "unit_conversions": {},
+        "do_log": {"x0": 0},
+        "active": {"x0": 1},
+        "init_guess": {"x0": 0.0},
+        "prior_dist": {"x0": (-2, 2)},
+        "trial_move": {"x0": 0.1},
+    }
+    mcmc = {"ini_mode": "density", "model": "std", "log_y": 1,
+            "model_uncertainty": 1}
+    e_data = ([np.array([0.0])], [np.array([0.0])], [np.array([1.0])])
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data,
+                                 np.zeros((1, 1)))
+    ev = make_eval_logll(plan)
+    x = 0.3
+    out = ev(jnp.asarray([[x]]), jnp.asarray([1.0, 2.0]))
+    u = 3 * (1 + np.sin(2 * np.pi * x))
+    np.testing.assert_allclose(np.asarray(out["logll_T"][0]),
+                               [-u, -u / 2], rtol=1e-12)
+    # outside the well -> +inf potential -> -inf logll
+    out2 = ev(jnp.asarray([[2.5]]), jnp.asarray([1.0]))
+    assert float(out2["logll_T"][0, 0]) == -np.inf
+
+
+def test_u_potential_piecewise():
+    xs = np.array([-1.5, -0.5, 0.5, 1.0, 1.9])
+    mult = np.array([1, 2, 3, 4, 5])
+    expect = mult * (1 + np.sin(2 * np.pi * xs))
+    np.testing.assert_allclose(np.asarray(u_potential(jnp.asarray(xs))),
+                               expect, rtol=1e-12)
+
+
+def test_search_c_grps():
+    assert search_c_grps([(0, 2, 4), (1, 3)], 4) == 0
+    assert search_c_grps([(0, 2, 4), (1, 3)], 3) == 1
+    assert search_c_grps([(0, 2)], 5) == 5
+    assert search_c_grps(None, 7) == 7

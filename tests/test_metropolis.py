@@ -1,0 +1,143 @@
+"""MH walk + tempering integration tests on a fast synthetic problem, and
+bit-exact checkpoint/resume (reference test_checkpoint.py:160-214 contract).
+
+Uses the 'pa' toy measurement (no PDE) so the walk itself is the thing
+under test and iterations are cheap on CPU.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from metrotrpl_tpu.inference import metro
+from metrotrpl_tpu.io.ensemble import load_checkpoint
+
+
+def _pa_setup(tmp_path, num_iters=60, temps=(0.05, 0.3, 2.0), **mcmc_over):
+    """pa toy problem (reference pa_toy_writer.py settings)."""
+    sim_info = {"lengths": [1], "nx": [1], "meas_types": ["pa"],
+                "num_meas": 1}
+    pi = {
+        "names": ["x0"],
+        "unit_conversions": {},
+        "do_log": {"x0": 0},
+        "active": {"x0": 1},
+        "init_guess": {"x0": 0.2},
+        "prior_dist": {"x0": (-2, 2)},
+        "trial_move": {"x0": 0.2},
+    }
+    mcmc = {"init_cond_path": "x", "measurement_path": "x",
+            "output_path": str(tmp_path / "out"),
+            "ini_mode": "density", "num_iters": num_iters,
+            "solver": ("sdirk",), "model": "std",
+            "model_uncertainty": 1, "log_y": 1, "hard_bounds": 1,
+            "checkpoint_freq": num_iters,
+            "parallel_tempering": list(temps), "temper_freq": 5,
+            "load_checkpoint": None}
+    mcmc.update(mcmc_over)
+    e_data = ([np.array([0.0])], [np.array([0.0])], [np.array([1.0])])
+    iniPar = np.zeros((1, 1))
+    return sim_info, pi, mcmc, e_data, iniPar
+
+
+def test_mh_pa_walk_statistics(tmp_path):
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(tmp_path, num_iters=300)
+    ens = metro(sim_info, iniPar, e_data, mcmc, pi,
+                export_path="final.pik", seed=7)
+    H = ens.H
+    # healthy acceptance on every chain
+    acc = H.accept[:, 1:].mean(axis=1)
+    assert np.all(acc > 0.05) and np.all(acc < 0.95)
+    # walker stays in the prior box
+    assert np.all(H.states > -2) and np.all(H.states < 2)
+    # the cold chain concentrates in low-potential regions: mean U under
+    # the cold chain should be below the hot chain's
+    def mean_u(x):
+        m = np.select([x < -1.25, x < -0.25, x < 0.75, x < 1.75],
+                      [1, 2, 3, 4], 5)
+        return np.mean(m * (1 + np.sin(2 * np.pi * x)))
+    u_cold = mean_u(H.states[0, 0, 100:])
+    u_hot = mean_u(H.states[-1, 0, 100:])
+    assert u_cold < u_hot
+    # tempering swaps occurred and some were accepted
+    assert H.swap_attempts.sum() > 0
+    assert H.swap_accept.sum() > 0
+    # output written
+    assert os.path.exists(str(tmp_path / "out" / "final.pik"))
+
+
+def test_checkpoint_resume_bit_exact(tmp_path):
+    """10 straight iterations == 5 + checkpoint + load + 5 more, bit for
+    bit, including the keyed RNG stream."""
+    n = 12
+    # run A: straight through
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+        tmp_path, num_iters=n, checkpoint_freq=n)
+    mcmc["output_path"] = str(tmp_path / "a")
+    ens_a = metro(sim_info, iniPar, e_data, mcmc, pi,
+                  export_path="final.pik", seed=99)
+
+    # run B: halt at 6, resume to 12
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+        tmp_path, num_iters=6, checkpoint_freq=6)
+    mcmc["output_path"] = str(tmp_path / "b")
+    metro(sim_info, iniPar, e_data, mcmc, pi,
+          export_path="ckpt.pik", seed=99)
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+        tmp_path, num_iters=n, checkpoint_freq=n)
+    mcmc["output_path"] = str(tmp_path / "b")
+    mcmc["load_checkpoint"] = "ckpt.pik"
+    ens_b = metro(sim_info, iniPar, e_data, mcmc, pi,
+                  export_path="final.pik", seed=99)
+
+    np.testing.assert_array_equal(ens_a.H.states, ens_b.H.states)
+    np.testing.assert_array_equal(ens_a.H.loglikelihood,
+                                  ens_b.H.loglikelihood)
+    np.testing.assert_array_equal(ens_a.H.accept[:, 6:],
+                                  ens_b.H.accept[:, 6:])
+
+
+def test_checkpoint_roundtrip_and_gui_compat(tmp_path):
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(tmp_path, num_iters=8)
+    ens = metro(sim_info, iniPar, e_data, mcmc, pi,
+                export_path="final.pik", seed=1)
+    path = str(tmp_path / "out" / "final.pik")
+
+    # loads through our loader
+    back = load_checkpoint(path)
+    np.testing.assert_array_equal(back.H.states, ens.H.states)
+    assert back.latest_iter == ens.latest_iter
+    assert back.ensemble_fields["names"] == ["x0"]
+
+    # unpickles with a reference-style top-level sim_utils module
+    import pickle
+    import sys
+    import types
+    shim = types.ModuleType("sim_utils")
+
+    class _E:
+        pass
+
+    class _H:
+        pass
+    shim.Ensemble = _E
+    shim.History = _H
+    sys.modules["sim_utils"] = shim
+    try:
+        with open(path, "rb") as f:
+            obj = pickle.load(f)
+        assert type(obj).__name__ == "_E"
+        assert hasattr(obj.H, "mean_x0")
+        assert obj.H.mean_x0.shape == (3, 8)
+    finally:
+        del sys.modules["sim_utils"]
+
+
+def test_single_chain_no_tempering(tmp_path):
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+        tmp_path, num_iters=20, temps=(1.0,))
+    ens = metro(sim_info, iniPar, e_data, mcmc, pi,
+                export_path="final.pik", seed=3)
+    assert ens.H.states.shape == (1, 1, 20)
+    assert ens.H.swap_attempts.sum() == 0
