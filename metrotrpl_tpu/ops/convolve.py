@@ -67,6 +67,7 @@ def fir_causal_batch(signals, taps):
         padding=[(m - 1, 0)],
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=B,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0]
 

@@ -56,32 +56,45 @@ def plan_time_grid(t_out, hmax=4.0, h0=1e-3, growth=1.25, refine=1):
         raise ValueError("Grid error - times must start at t=0")
     if len(t_out) < 2:
         raise ValueError("Need at least two output times")
+    if np.any(np.diff(t_out) <= 0):
+        raise ValueError("Output times must be strictly increasing")
 
-    # Envelope: tentative ramp times 0 < r_1 < r_2 < ... with
-    # r_{k+1} - r_k = min(h0 * growth^k, hmax).
     t_final = float(t_out[-1])
+    # True geometric early-time knots: 0, h0, h0(1+g), ... until the step
+    # reaches hmax. The first solver step really is h0 — essential for the
+    # sharp Beer-Lambert transient (large first steps make the float32
+    # Newton diverge even though the scheme is L-stable).
     ramp = [0.0]
     h = h0
-    while ramp[-1] < t_final:
+    while h < hmax and ramp[-1] + h < t_final:
         ramp.append(ramp[-1] + h)
-        h = min(h * growth, hmax)
-    ramp = np.array(ramp)
+        h = h * growth
+    ramp = np.array(ramp[1:])
 
-    knots = [0.0]
-    out_idx = np.zeros(len(t_out), dtype=np.int64)
-    for j in range(len(t_out) - 1):
-        a, b = float(t_out[j]), float(t_out[j + 1])
-        if b <= a:
-            raise ValueError("Output times must be strictly increasing")
-        # substeps: honor both the ramp envelope and hmax
-        n_ramp = int(np.sum((ramp > a) & (ramp < b)))
-        n_sub = max(int(np.ceil((b - a) / hmax)), n_ramp + 1, 1) * int(refine)
+    # Knot set: output times + ramp times, then subdivide any gap > hmax
+    # (and apply the uniform `refine` factor).
+    base = np.unique(np.concatenate([t_out, ramp]))
+    knots = [base[0]]
+    for a, b in zip(base[:-1], base[1:]):
+        n_sub = max(int(np.ceil((b - a) / hmax)), 1) * int(refine)
         step = (b - a) / n_sub
         for s in range(1, n_sub + 1):
             knots.append(a + step * s)
-        out_idx[j + 1] = len(knots) - 1
-
     t_solver = np.array(knots)
+
+    # map each output time to its knot index (exact membership by
+    # construction, up to float roundoff)
+    out_idx = np.searchsorted(t_solver, t_out)
+    out_idx = np.clip(out_idx, 0, len(t_solver) - 1)
+    # guard against roundoff landing one knot early
+    for j, t in enumerate(t_out):
+        k = out_idx[j]
+        if abs(t_solver[k] - t) > 1e-9 * max(1.0, abs(t)):
+            if k > 0 and abs(t_solver[k - 1] - t) <= 1e-9 * max(1.0, abs(t)):
+                out_idx[j] = k - 1
+            else:
+                raise AssertionError("output time missing from solver grid")
+
     dt = np.diff(t_solver)
     return TimeGrid(dt=dt, out_idx=out_idx, t_solver=t_solver)
 

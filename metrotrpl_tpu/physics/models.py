@@ -14,13 +14,15 @@ on TPU is that every state component stays O(1), so the stepper runs in
 float32 without catastrophic cancellation in the recombination and
 surface-flux terms.
 
-State layout: y has shape (..., nx, C). Cell i holds
-(dN_i, dP_i, E_{i+1}) for the std model (C=3) and
-(dN_i, Ntrap_i, dP_i, E_{i+1}) for the traps model (C=4). The interior
-E edges are 1..nx-1; E_0 and E_nx are exactly conserved by the dynamics
-(the boundary currents cancel: Jn+Jp = 0 at both surfaces) and remain at
-their initial value 0, so they are not part of the state. The last cell's
-E slot is a dummy with zero dynamics.
+State layout: y has shape (..., C, nx) — component axis BEFORE the cell
+axis, so the nx cells ride the TPU's 128-wide vector lanes (the
+load-bearing layout decision; see ops/blocktridiag.py). Component slots are
+(dN, dP, E_shifted) for the std model (C=3) and (dN, Ntrap, dP, E_shifted)
+for the traps model (C=4), where E_shifted[i] = E_{i+1}. The interior E
+edges are 1..nx-1; E_0 and E_nx are exactly conserved by the dynamics (the
+boundary currents cancel: Jn+Jp = 0 at both surfaces) and remain at their
+initial value 0, so they are not part of the state. The last cell's E slot
+is a dummy with zero dynamics.
 """
 
 from typing import NamedTuple
@@ -119,10 +121,10 @@ def _bulk_recombination(M, Ntot, Ptot, p):
 
 
 def rhs_std(y, p):
-    """dy/dt for the std model. y: (..., nx, 3)."""
-    dN = y[..., 0]
-    dP = y[..., 1]
-    E_int = y[..., :-1, 2]
+    """dy/dt for the std model. y: (..., 3, nx)."""
+    dN = y[..., 0, :]
+    dP = y[..., 1, :]
+    E_int = y[..., 2, :-1]
 
     jn, jp, M, Ntot, Ptot = _fluxes(dN, dP, E_int, p)
     R = _bulk_recombination(M, Ntot, Ptot, p)
@@ -131,15 +133,15 @@ def rhs_std(y, p):
     ddP = -(jp[..., 1:] - jp[..., :-1]) * p.inv_dx - R
     dE_int = -(jn[..., 1:-1] + jp[..., 1:-1]) * p.inv_dx
     dE = jnp.concatenate([dE_int, jnp.zeros_like(dE_int[..., :1])], axis=-1)
-    return jnp.stack([ddN, ddP, dE], axis=-1)
+    return jnp.stack([ddN, ddP, dE], axis=-2)
 
 
 def rhs_traps(y, p):
-    """dy/dt for the shallow-trap model. y: (..., nx, 4)."""
-    dN = y[..., 0]
-    Ntr = y[..., 1]
-    dP = y[..., 2]
-    E_int = y[..., :-1, 3]
+    """dy/dt for the shallow-trap model. y: (..., 4, nx)."""
+    dN = y[..., 0, :]
+    Ntr = y[..., 1, :]
+    dP = y[..., 2, :]
+    E_int = y[..., 3, :-1]
 
     jn, jp, M, Ntot, Ptot = _fluxes(dN, dP, E_int, p)
     R = _bulk_recombination(M, Ntot, Ptot, p)
@@ -151,7 +153,7 @@ def rhs_traps(y, p):
     ddP = -(jp[..., 1:] - jp[..., :-1]) * p.inv_dx - R
     dE_int = -(jn[..., 1:-1] + jp[..., 1:-1]) * p.inv_dx
     dE = jnp.concatenate([dE_int, jnp.zeros_like(dE_int[..., :1])], axis=-1)
-    return jnp.stack([ddN, dNtr, ddP, dE], axis=-1)
+    return jnp.stack([ddN, dNtr, ddP, dE], axis=-2)
 
 
 RHS = {"std": rhs_std, "traps": rhs_traps}
@@ -177,9 +179,9 @@ def initial_state(init_dN, ns, model="std", dtype=None):
         y0 = y0.astype(dtype)
     zeros = jnp.zeros_like(y0)
     if model == "std":
-        return jnp.stack([y0, y0, zeros], axis=-1)
+        return jnp.stack([y0, y0, zeros], axis=-2)
     if model == "traps":
-        return jnp.stack([y0, zeros, y0, zeros], axis=-1)
+        return jnp.stack([y0, zeros, y0, zeros], axis=-2)
     raise ValueError(f"Invalid model {model}")
 
 
@@ -192,8 +194,8 @@ def observables_std(y, p, dx, model="std"):
     trapezoid-with-half-edge-cells scheme, which reduces exactly to
     dx * sum over cell-centered values (reference forward_solver.py:258-264).
     """
-    dN = y[..., 0]
-    dP = y[..., 2] if model == "traps" else y[..., 1]
+    dN = y[..., 0, :]
+    dP = y[..., 2, :] if model == "traps" else y[..., 1, :]
     M = _excess_product(dN, dP, p)
     pl_t = dx * jnp.sum(M, axis=-1)
     # photoconductivity ~ mu_n dN + mu_p dP; express via diff coeffs to stay
@@ -229,16 +231,16 @@ def scaled_to_raw_state(y, ns, n0, p0, lam, dx, model="std"):
     [N, Ntrap, P, E] layout (float64 test utility)."""
     e_scale = lam * dx * ns
     if model == "std":
-        N = y[..., 0] * ns + n0
-        P = y[..., 1] * ns + p0
-        E_int = y[..., :-1, 2] * e_scale
+        N = y[..., 0, :] * ns + n0
+        P = y[..., 1, :] * ns + p0
+        E_int = y[..., 2, :-1] * e_scale
         zero = np.zeros(E_int.shape[:-1] + (1,))
         E = np.concatenate([zero, E_int, zero], axis=-1)
         return np.concatenate([N, P, E], axis=-1)
-    N = y[..., 0] * ns + n0
-    Ntr = y[..., 1] * ns
-    P = y[..., 2] * ns + p0
-    E_int = y[..., :-1, 3] * e_scale
+    N = y[..., 0, :] * ns + n0
+    Ntr = y[..., 1, :] * ns
+    P = y[..., 2, :] * ns + p0
+    E_int = y[..., 3, :-1] * e_scale
     zero = np.zeros(E_int.shape[:-1] + (1,))
     E = np.concatenate([zero, E_int, zero], axis=-1)
     return np.concatenate([N, Ntr, P, E], axis=-1)

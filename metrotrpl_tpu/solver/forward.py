@@ -110,6 +110,25 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
     first time the signal dips below min_y everything is held at min_y
     (reference forward_solver.py:190-201).
     """
+    # Pad the batch to a multiple of the float32 sublane count. This keeps
+    # every (B, nx) plane tile-aligned AND works around an observed TPU
+    # (axon/Mosaic) miscompile where sublane-padded batches (e.g. B=6)
+    # produce corrupted rows; padded rows replicate row 0 and are dropped
+    # before returning.
+    B_in = init_dN.shape[0]
+    pad = (-B_in) % 8
+    if pad:
+        def _pad8(a):
+            a = jnp.asarray(a)
+            return jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
+        init_dN = _pad8(init_dN)
+        raw_params = {k: _pad8(v) for k, v in raw_params.items()}
+        dx = _pad8(dx)
+        dt = _pad8(dt)
+        out_idx = _pad8(out_idx)
+        is_trpl = _pad8(is_trpl)
+
     dtype = init_dN.dtype
     # Per-simulation density scale: keeps the state O(1) in float32.
     ns = jnp.max(init_dN, axis=-1) + raw_params["p0"] + raw_params["n0"]
@@ -144,7 +163,7 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
     do_clamp = jnp.take_along_axis(below, first[:, None], axis=1)
     tail = jnp.arange(sol.shape[1])[None, :] >= first[:, None]
     sol = jnp.where(tail & do_clamp, min_y, sol)
-    return sol
+    return sol[:B_in]
 
 
 def solve_single(init_dN, raw_params, thickness, nx, t_out, meas="TRPL",

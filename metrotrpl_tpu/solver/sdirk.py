@@ -21,7 +21,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from metrotrpl_tpu.ops.blocktridiag import block_tridiag_jacobian, inv_small
+from metrotrpl_tpu.ops.blocktridiag import (
+    _mm,
+    _mv,
+    _shift,
+    block_tridiag_jacobian,
+    inv_small,
+)
 
 _SQRT2 = math.sqrt(2.0)
 _G3 = 0.435866521508458999416019  # root of x^3 - 3x^2 + 3x/2 - 1/6
@@ -61,46 +67,24 @@ SDIRK_SCHEMES = {
 }
 
 
-def _mm(A, B):
-    return jnp.einsum("...ij,...jk->...ik", A, B)
-
-
-def _mv(A, x):
-    return jnp.einsum("...ij,...j->...i", A, x)
-
-
-def _shift(A, s, axis):
-    if s == 0:
-        return A
-    pad = [(0, 0)] * A.ndim
-    sl = [slice(None)] * A.ndim
-    if s > 0:
-        pad[axis] = (s, 0)
-        sl[axis] = slice(0, A.shape[axis])
-    else:
-        pad[axis] = (0, -s)
-        sl[axis] = slice(-s, A.shape[axis] - s)
-    return jnp.pad(A, pad)[tuple(sl)]
-
-
 def pcr_factor(L, D, U):
     """Run the PCR matrix path once, recording per-level (alpha, beta)
     update operators plus the final decoupled D^-1. The returned factors
     can be applied to any number of right-hand sides via :func:`pcr_apply`."""
-    n = L.shape[-3]
+    n = L.shape[-1]
     n_levels = int(math.ceil(math.log2(n))) if n > 1 else 0
     alphas, betas = [], []
     s = 1
     for _ in range(n_levels):
         Dinv = inv_small(D)
-        alpha = -_mm(L, _shift(Dinv, s, axis=-3))
-        beta = -_mm(U, _shift(Dinv, -s, axis=-3))
+        alpha = -_mm(L, _shift(Dinv, s))
+        beta = -_mm(U, _shift(Dinv, -s))
         alphas.append(alpha)
         betas.append(beta)
         L, D, U = (
-            _mm(alpha, _shift(L, s, axis=-3)),
-            D + _mm(alpha, _shift(U, s, axis=-3)) + _mm(beta, _shift(L, -s, axis=-3)),
-            _mm(beta, _shift(U, -s, axis=-3)),
+            _mm(alpha, _shift(L, s)),
+            D + _mm(alpha, _shift(U, s)) + _mm(beta, _shift(L, -s)),
+            _mm(beta, _shift(U, -s)),
         )
         s *= 2
     return alphas, betas, inv_small(D)
@@ -111,8 +95,7 @@ def pcr_apply(factors, b):
     alphas, betas, Dinv_final = factors
     s = 1
     for alpha, beta in zip(alphas, betas):
-        b = (b + _mv(alpha, _shift(b, s, axis=-2))
-             + _mv(beta, _shift(b, -s, axis=-2)))
+        b = b + _mv(alpha, _shift(b, s)) + _mv(beta, _shift(b, -s))
         s *= 2
     return _mv(Dinv_final, b)
 
@@ -121,19 +104,21 @@ def sdirk_step(rhs, y, h, scheme, newton_iters=2):
     """One SDIRK step of size h (h may be batched, broadcastable to
     y.shape[:-2]).
 
-    rhs : state (..., n, C) -> (..., n, C)
+    rhs : state (..., C, n) -> (..., C, n)
     Returns y_{n+1} (the final stage — all schemes here are stiffly
     accurate).
     """
-    C = y.shape[-1]
-    hb = jnp.asarray(h)[..., None, None]  # broadcast over (n, C)
+    C = y.shape[-2]
+    hb = jnp.asarray(h)[..., None, None]  # broadcast over (C, n)
     gamma = scheme.gamma
 
     # Newton matrix M = I - h*gamma*J(y_n), factored once per step.
     L, D, U = block_tridiag_jacobian(rhs, y, C)
-    eye = jnp.eye(C, dtype=y.dtype)
-    hg = (hb * gamma)[..., None]  # (..., 1, 1, 1) over (n, C, C)
-    factors = pcr_factor(-hg * L, eye - hg * D, -hg * U)
+    hg = (hb * gamma)[..., None]  # broadcasts over (C, C, n)
+    MD = -hg * D
+    for i in range(C):  # unit diagonal: M = I - h*gamma*J
+        MD = MD.at[..., i, i, :].add(1.0)
+    factors = pcr_factor(-hg * L, MD, -hg * U)
 
     n_stages = scheme.A.shape[0]
     fs = []

@@ -22,35 +22,38 @@ thomas_solve = jax.jit(_thomas_eager)
 
 
 def _random_system(rng, batch, n, C, dominance=4.0):
-    L = rng.standard_normal((batch, n, C, C))
-    D = rng.standard_normal((batch, n, C, C))
-    U = rng.standard_normal((batch, n, C, C))
+    """Component-first layout: blocks (batch, C, C, n), rhs (batch, C, n)."""
+    L = rng.standard_normal((batch, C, C, n))
+    D = rng.standard_normal((batch, C, C, n))
+    U = rng.standard_normal((batch, C, C, n))
     # Make diagonally dominant so unpivoted solves are stable
-    D += dominance * C * np.eye(C)
-    L[:, 0] = 0.0
-    U[:, -1] = 0.0
-    b = rng.standard_normal((batch, n, C))
+    D += dominance * C * np.eye(C)[None, :, :, None]
+    L[..., 0] = 0.0
+    U[..., -1] = 0.0
+    b = rng.standard_normal((batch, C, n))
     return map(jnp.asarray, (L, D, U, b))
 
 
 def _dense(L, D, U):
-    batch, n, C, _ = L.shape
+    batch, C, _, n = L.shape
     A = np.zeros((batch, n * C, n * C))
     for i in range(n):
-        A[:, i * C:(i + 1) * C, i * C:(i + 1) * C] = D[:, i]
+        A[:, i * C:(i + 1) * C, i * C:(i + 1) * C] = D[..., i]
         if i > 0:
-            A[:, i * C:(i + 1) * C, (i - 1) * C:i * C] = L[:, i]
+            A[:, i * C:(i + 1) * C, (i - 1) * C:i * C] = L[..., i]
         if i < n - 1:
-            A[:, i * C:(i + 1) * C, (i + 1) * C:(i + 2) * C] = U[:, i]
+            A[:, i * C:(i + 1) * C, (i + 1) * C:(i + 2) * C] = U[..., i]
     return A
 
 
 @pytest.mark.parametrize("C", [1, 2, 3, 4])
 def test_inv_small(rng, C):
-    A = rng.standard_normal((5, C, C)) + 3 * C * np.eye(C)
-    Ainv = np.asarray(inv_small(jnp.asarray(A)))
-    np.testing.assert_allclose(Ainv @ A, np.broadcast_to(np.eye(C), A.shape),
-                               atol=1e-10)
+    A = rng.standard_normal((5, C, C, 7)) + 3 * C * np.eye(C)[None, :, :, None]
+    Ainv = np.asarray(jax.jit(inv_small)(jnp.asarray(A)))
+    prod = np.einsum("bijn,bjkn->bikn", Ainv, A)
+    np.testing.assert_allclose(
+        prod, np.broadcast_to(np.eye(C)[None, :, :, None], A.shape),
+        atol=1e-10)
 
 
 @pytest.mark.parametrize("n,C", [(8, 3), (128, 3), (100, 3), (16, 4), (1, 3)])
@@ -58,8 +61,10 @@ def test_pcr_matches_dense(rng, n, C):
     L, D, U, b = _random_system(rng, 2, n, C)
     x = np.asarray(pcr_solve(L, D, U, b))
     A = _dense(np.asarray(L), np.asarray(D), np.asarray(U))
-    x_ref = np.linalg.solve(A, np.asarray(b).reshape(2, n * C, 1))[..., 0]
-    np.testing.assert_allclose(x.reshape(2, n * C), x_ref, rtol=1e-8, atol=1e-10)
+    b_flat = np.asarray(b).transpose(0, 2, 1).reshape(2, n * C, 1)
+    x_ref = np.linalg.solve(A, b_flat)[..., 0]
+    np.testing.assert_allclose(x.transpose(0, 2, 1).reshape(2, n * C),
+                               x_ref, rtol=1e-8, atol=1e-10)
 
 
 @pytest.mark.parametrize("n,C", [(32, 3), (16, 4)])
@@ -67,15 +72,18 @@ def test_thomas_matches_dense(rng, n, C):
     L, D, U, b = _random_system(rng, 2, n, C)
     x = np.asarray(thomas_solve(L, D, U, b))
     A = _dense(np.asarray(L), np.asarray(D), np.asarray(U))
-    x_ref = np.linalg.solve(A, np.asarray(b).reshape(2, n * C, 1))[..., 0]
-    np.testing.assert_allclose(x.reshape(2, n * C), x_ref, rtol=1e-8, atol=1e-10)
+    b_flat = np.asarray(b).transpose(0, 2, 1).reshape(2, n * C, 1)
+    x_ref = np.linalg.solve(A, b_flat)[..., 0]
+    np.testing.assert_allclose(x.transpose(0, 2, 1).reshape(2, n * C),
+                               x_ref, rtol=1e-8, atol=1e-10)
 
 
 def test_matvec(rng):
     L, D, U, b = _random_system(rng, 3, 10, 3)
-    y = np.asarray(block_tridiag_matvec(L, D, U, b))
+    y = np.asarray(jax.jit(block_tridiag_matvec)(L, D, U, b))
     A = _dense(np.asarray(L), np.asarray(D), np.asarray(U))
-    y_ref = (A @ np.asarray(b).reshape(3, 30, 1)).reshape(3, 10, 3)
+    b_flat = np.asarray(b).transpose(0, 2, 1).reshape(3, 30, 1)
+    y_ref = (A @ b_flat)[..., 0].reshape(3, 10, 3).transpose(0, 2, 1)
     np.testing.assert_allclose(y, y_ref, rtol=1e-10, atol=1e-12)
 
 
@@ -83,45 +91,47 @@ def test_pcr_stiff_diffusion_blocks(rng):
     """PCR on the kind of system the stepper produces: I - h*J with a stiff
     diffusion coupling (mu ~ 1e4 off-diagonal)."""
     n, C, mu = 128, 3, 3.4e4
-    eye = np.eye(C)
-    L = np.tile(-mu * eye, (1, n, 1, 1))
-    U = np.tile(-mu * eye, (1, n, 1, 1))
-    D = np.tile((1 + 2 * mu) * eye, (1, n, 1, 1))
-    D += 0.1 * rng.standard_normal((1, n, C, C))
-    L[:, 0] = 0.0
-    U[:, -1] = 0.0
-    b = rng.standard_normal((1, n, C))
+    eye = np.eye(C)[None, :, :, None]
+    L = np.tile(-mu * eye, (1, 1, 1, n))
+    U = np.tile(-mu * eye, (1, 1, 1, n))
+    D = np.tile((1 + 2 * mu) * eye, (1, 1, 1, n))
+    D += 0.1 * rng.standard_normal((1, C, C, n))
+    L[..., 0] = 0.0
+    U[..., -1] = 0.0
+    b = rng.standard_normal((1, C, n))
     x = np.asarray(pcr_solve(*map(jnp.asarray, (L, D, U, b))))
     A = _dense(L, D, U)
-    x_ref = np.linalg.solve(A, b.reshape(1, n * C, 1))[..., 0]
-    np.testing.assert_allclose(x.reshape(1, n * C), x_ref, rtol=1e-6, atol=1e-9)
+    b_flat = b.transpose(0, 2, 1).reshape(1, n * C, 1)
+    x_ref = np.linalg.solve(A, b_flat)[..., 0]
+    np.testing.assert_allclose(x.transpose(0, 2, 1).reshape(1, n * C),
+                               x_ref, rtol=1e-6, atol=1e-9)
 
 
 def test_colored_jacobian_matches_dense():
     """Colored-JVP block extraction equals the dense jacfwd for a nonlinear
-    nearest-neighbor stencil RHS."""
+    nearest-neighbor stencil RHS (component-first layout: y (C, n))."""
     n, C = 12, 3
 
     def f(y):
-        left = jnp.pad(y, ((1, 0), (0, 0)))[:-1]
-        right = jnp.pad(y, ((0, 1), (0, 0)))[1:]
+        left = jnp.pad(y, ((0, 0), (1, 0)))[:, :-1]
+        right = jnp.pad(y, ((0, 0), (0, 1)))[:, 1:]
         out = jnp.sin(y) + 0.5 * left * y - 0.25 * right ** 2
-        out = out + jnp.roll(out, 1, axis=-1) * 0.1  # couple components
+        out = out + jnp.roll(out, 1, axis=0) * 0.1  # couple components
         return out
 
     key = jax.random.PRNGKey(0)
-    y = jax.random.normal(key, (n, C), dtype=jnp.float64)
+    y = jax.random.normal(key, (C, n), dtype=jnp.float64)
     L, D, U = block_tridiag_jacobian(f, y, C)
 
-    J = jax.jacfwd(f)(y).reshape(n * C, n * C)
+    # dense J[(a, i), (b, j)] with y flattened component-major
+    J = jax.jacfwd(f)(y).reshape(C, n, C, n)
     for i in range(n):
-        np.testing.assert_allclose(
-            D[i], J[i * C:(i + 1) * C, i * C:(i + 1) * C], atol=1e-12)
+        np.testing.assert_allclose(D[:, :, i], J[:, i, :, i], atol=1e-12)
         if i > 0:
-            np.testing.assert_allclose(
-                L[i], J[i * C:(i + 1) * C, (i - 1) * C:i * C], atol=1e-12)
+            np.testing.assert_allclose(L[:, :, i], J[:, i, :, i - 1],
+                                       atol=1e-12)
         if i < n - 1:
-            np.testing.assert_allclose(
-                U[i], J[i * C:(i + 1) * C, (i + 1) * C:(i + 2) * C], atol=1e-12)
-    np.testing.assert_allclose(L[0], 0.0, atol=0)
-    np.testing.assert_allclose(U[-1], 0.0, atol=0)
+            np.testing.assert_allclose(U[:, :, i], J[:, i, :, i + 1],
+                                       atol=1e-12)
+    np.testing.assert_allclose(L[:, :, 0], 0.0, atol=0)
+    np.testing.assert_allclose(U[:, :, -1], 0.0, atol=0)

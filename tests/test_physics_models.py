@@ -50,6 +50,7 @@ def _setup(nx=24, thickness=311.0, rngseed=7):
 
 
 def _scaled_state_from(dN, dP, E_int, ns, lam, dx, model="std", Ntr=None):
+    """Component-first state (C, nx)."""
     e_scale = lam * dx * ns
     cols = [dN / ns]
     if model == "traps":
@@ -57,7 +58,7 @@ def _scaled_state_from(dN, dP, E_int, ns, lam, dx, model="std", Ntr=None):
     cols.append(dP / ns)
     E_pad = np.concatenate([E_int / e_scale, [0.0]])
     cols.append(E_pad)
-    return jnp.asarray(np.stack(cols, axis=-1))
+    return jnp.asarray(np.stack(cols, axis=0))
 
 
 @pytest.mark.parametrize("model", ["std", "traps"])
@@ -95,15 +96,15 @@ def test_rhs_matches_oracle(model):
     dy = np.asarray((rhs_std if model == "std" else rhs_traps)(y, sp))
 
     e_scale = lam * dx * ns
-    np.testing.assert_allclose(dy[:, 0] * ns, dN_ref, rtol=1e-10)
+    np.testing.assert_allclose(dy[0] * ns, dN_ref, rtol=1e-10)
     if model == "std":
-        np.testing.assert_allclose(dy[:, 1] * ns, dP_ref, rtol=1e-10)
-        np.testing.assert_allclose(dy[:-1, 2] * e_scale, dE_ref, rtol=1e-10)
-        assert dy[-1, 2] == 0.0
+        np.testing.assert_allclose(dy[1] * ns, dP_ref, rtol=1e-10)
+        np.testing.assert_allclose(dy[2, :-1] * e_scale, dE_ref, rtol=1e-10)
+        assert dy[2, -1] == 0.0
     else:
-        np.testing.assert_allclose(dy[:, 1] * ns, dNtr_ref, rtol=1e-10)
-        np.testing.assert_allclose(dy[:, 2] * ns, dP_ref, rtol=1e-10)
-        np.testing.assert_allclose(dy[:-1, 3] * e_scale, dE_ref, rtol=1e-10)
+        np.testing.assert_allclose(dy[1] * ns, dNtr_ref, rtol=1e-10)
+        np.testing.assert_allclose(dy[2] * ns, dP_ref, rtol=1e-10)
+        np.testing.assert_allclose(dy[3, :-1] * e_scale, dE_ref, rtol=1e-10)
 
 
 def test_traps_reduces_to_std():
@@ -121,9 +122,9 @@ def test_traps_reduces_to_std():
     y4 = _scaled_state_from(dN, dP, E_int, ns, lam, dx, "traps")
     d3 = np.asarray(rhs_std(y3, sp))
     d4 = np.asarray(rhs_traps(y4, sp))
-    np.testing.assert_allclose(d4[:, 0], d3[:, 0], rtol=1e-12)
-    np.testing.assert_allclose(d4[:, 2], d3[:, 1], rtol=1e-12)
-    np.testing.assert_allclose(d4[:, 1], 0.0, atol=1e-15)
+    np.testing.assert_allclose(d4[0], d3[0], rtol=1e-12)
+    np.testing.assert_allclose(d4[2], d3[1], rtol=1e-12)
+    np.testing.assert_allclose(d4[1], 0.0, atol=1e-15)
 
 
 def test_equilibrium_is_steady_state():
@@ -134,7 +135,7 @@ def test_equilibrium_is_steady_state():
     p = STAUB
     ns = p["p0"]
     sp = make_scaled_params(p, dx, ns)
-    y = jnp.zeros((nx, 3), dtype=jnp.float64)
+    y = jnp.zeros((3, nx), dtype=jnp.float64)
     dy = np.asarray(rhs_std(y, sp))
     np.testing.assert_allclose(dy, 0.0, atol=1e-18)
 
@@ -174,5 +175,5 @@ def test_observables_match_oracle():
 def test_initial_state_has_zero_field():
     init_dN = jnp.asarray(np.linspace(1e-5, 1e-7, 16))
     y = initial_state(init_dN, 1e-5, model="std")
-    np.testing.assert_allclose(np.asarray(y[:, 2]), 0.0, atol=0)
-    np.testing.assert_allclose(np.asarray(y[:, 0]), np.asarray(y[:, 1]))
+    np.testing.assert_allclose(np.asarray(y[2]), 0.0, atol=0)
+    np.testing.assert_allclose(np.asarray(y[0]), np.asarray(y[1]))
