@@ -1,0 +1,190 @@
+"""Command-line entry points.
+
+Subcommand equivalents of the reference entry scripts:
+
+    python -m metrotrpl_tpu.cli mcmc  <config.txt>   (reference main.py)
+    python -m metrotrpl_tpu.cli dense <config.txt>   (run_dense_sampler.py)
+    python -m metrotrpl_tpu.cli mle   <config.txt>   (run_max_likelihood.py)
+    python -m metrotrpl_tpu.cli write-example <out.txt>  (MCMC_script_writer)
+
+All consume the reference's MCMC config-script format.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _load_common(script_path):
+    from metrotrpl_tpu.config import (
+        get_data,
+        get_initpoints,
+        read_config_script_file,
+    )
+
+    sim_info, param_info, meas_flags, MCMC_fields = read_config_script_file(
+        script_path)
+    iniPar = get_initpoints(MCMC_fields["init_cond_path"], meas_flags)
+    e_data = get_data(MCMC_fields["measurement_path"], meas_flags,
+                      MCMC_fields)
+    return sim_info, param_info, meas_flags, MCMC_fields, iniPar, e_data
+
+
+def cmd_mcmc(args):
+    from metrotrpl_tpu.inference import metro
+
+    (sim_info, param_info, _meas, MCMC_fields,
+     iniPar, e_data) = _load_common(args.config)
+    jobid = args.jobid
+    export_path = f"CPU{jobid}-final.pik"
+    # reference main.py:36 seeds with the jobid; our keyed-stream equivalent
+    seed = args.seed if args.seed is not None else (jobid or
+                                                    235817049752375780)
+    metro(sim_info, iniPar, e_data, MCMC_fields, param_info,
+          verbose=args.verbose, export_path=export_path,
+          logger_name=f"Ensemble{jobid}", seed=seed,
+          irf_dir=args.irf_dir)
+    print(f"Done. Output: "
+          f"{os.path.join(MCMC_fields['output_path'], export_path)}")
+
+
+def cmd_dense(args):
+    from metrotrpl_tpu.inference.dense import bayes, export
+    from metrotrpl_tpu.io.logging import start_logging, stop_logging
+    from metrotrpl_tpu.ops.convolve import make_I_tables
+
+    (sim_info, param_info, _meas, MCMC_fields,
+     iniPar, e_data) = _load_common(args.config)
+    logger, handler = start_logging(
+        log_dir=MCMC_fields["output_path"], name=f"Dense{args.jobid}",
+        verbose=args.verbose)
+    if MCMC_fields.get("irf_convolution", None) is not None:
+        irfs = {}
+        for w in MCMC_fields["irf_convolution"]:
+            if w > 0 and int(w) not in irfs:
+                irfs[int(w)] = np.loadtxt(
+                    os.path.join(args.irf_dir, f"irf_{int(w)}nm.csv"),
+                    delimiter=",")
+        MCMC_fields["_IRF_tables"] = make_I_tables(irfs)
+    N, P, X = bayes(None, None, iniPar, sim_info, e_data, MCMC_fields,
+                    param_info, logger=logger, seed=args.jobid)
+    out = os.path.join(MCMC_fields["output_path"], f"CPU{args.jobid}")
+    export(out, P, X, logger=logger)
+    stop_logging(logger, handler)
+    print(f"Done. Output: {out}_P.npy / {out}_X.npy")
+
+
+def cmd_mle(args):
+    from metrotrpl_tpu.inference.mle import mle
+    from metrotrpl_tpu.io.logging import start_logging, stop_logging
+    from metrotrpl_tpu.ops.convolve import make_I_tables
+
+    (sim_info, param_info, _meas, MCMC_fields,
+     iniPar, e_data) = _load_common(args.config)
+    logger, handler = start_logging(
+        log_dir=MCMC_fields["output_path"], name=f"MLE{args.jobid}",
+        verbose=args.verbose)
+    if MCMC_fields.get("irf_convolution", None) is not None:
+        irfs = {}
+        for w in MCMC_fields["irf_convolution"]:
+            if w > 0 and int(w) not in irfs:
+                irfs[int(w)] = np.loadtxt(
+                    os.path.join(args.irf_dir, f"irf_{int(w)}nm.csv"),
+                    delimiter=",")
+        MCMC_fields["_IRF_tables"] = make_I_tables(irfs)
+    mle(e_data, sim_info, param_info, iniPar, MCMC_fields,
+        f"MLE{args.jobid}-final.pik", logger, maxiter=args.maxiter)
+    stop_logging(logger, handler)
+    print("Done.")
+
+
+def cmd_write_example(args):
+    """Generate the staub-MAPI example config (reference
+    MCMC_script_writer.py:46-156 settings)."""
+    from metrotrpl_tpu.config import generate_config_script_file
+
+    names = ["n0", "p0", "mu_n", "mu_p", "ks", "Cn", "Cp", "Sf", "Sb",
+             "tauN", "tauP", "eps", "Tm"]
+    simPar = {"lengths": [311, 2000, 311, 2000, 311, 2000],
+              "nx": [128] * 6, "meas_types": ["TRPL"] * 6, "num_meas": 6}
+    param_info = {
+        "names": names,
+        "unit_conversions": {"n0": 1e-21, "p0": 1e-21, "mu_n": 1e5,
+                             "mu_p": 1e5, "ks": 1e12, "Cn": 1e33,
+                             "Cp": 1e33, "Sf": 1e-2, "Sb": 1e-2, "Tm": 1},
+        "do_log": {n: 1 for n in names},
+        "active": {n: (0 if n in ("n0", "eps", "Tm") else 1) for n in names},
+        "init_guess": {"n0": 1e8, "p0": 3e15, "mu_n": 20, "mu_p": 20,
+                       "ks": 4.8e-11, "Cn": 4.4e-29, "Cp": 4.4e-29,
+                       "Sf": 10, "Sb": 10, "tauN": 511, "tauP": 871,
+                       "eps": 10, "Tm": 300},
+        "prior_dist": {"n0": (0, np.inf), "p0": (1e14, 1e16),
+                       "mu_n": (1e0, 1e2), "mu_p": (1e0, 1e2),
+                       "ks": (1e-11, 1e-9), "Cn": (1e-29, 1e-27),
+                       "Cp": (1e-29, 1e-27), "Sf": (1e-1, 1e4),
+                       "Sb": (1e-1, 1e4), "tauN": (1, 2e3),
+                       "tauP": (1, 1e4), "eps": (0, np.inf),
+                       "Tm": (0, np.inf)},
+        "trial_move": {n: 0.003 for n in names},
+    }
+    meas_fields = {"time_cutoff": [0, 2000], "select_obs_sets": None}
+    MCMC_fields = {
+        "init_cond_path": args.init_cond or os.path.join(
+            "Inputs", "staub_MAPI_threepower_twothick_fluences.csv"),
+        "measurement_path": args.measurement or os.path.join(
+            "Inputs", "staub_MAPI_threepower_twothick_nonoise.csv"),
+        "output_path": args.output or os.path.join("bay_outputs", "run0"),
+        "ini_mode": "fluence",
+        "num_iters": args.num_iters,
+        "solver": ("solveivp",),
+        "model": "std",
+        "model_uncertainty": 1,
+        "log_y": 1,
+        "scale_factor": None,
+        "irf_convolution": None,
+        "parallel_tempering": [1., 2., 4., 8., 16., 32., 64., 128.],
+        "temper_freq": 10,
+        "hard_bounds": 1,
+        "force_min_y": 0,
+        "checkpoint_freq": 1000,
+        "load_checkpoint": None,
+    }
+    generate_config_script_file(args.out, simPar, param_info, meas_fields,
+                                MCMC_fields, verbose=True)
+    print(f"Wrote {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="metrotrpl_tpu",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for name, fn in (("mcmc", cmd_mcmc), ("dense", cmd_dense),
+                     ("mle", cmd_mle)):
+        sp = sub.add_parser(name)
+        sp.add_argument("config", help="MCMC config script path")
+        sp.add_argument("--jobid", type=int, default=0)
+        sp.add_argument("--seed", type=int, default=None)
+        sp.add_argument("--verbose", action="store_true")
+        sp.add_argument("--irf-dir", default="IRFs")
+        if name == "mle":
+            sp.add_argument("--maxiter", type=int, default=None)
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("write-example")
+    sp.add_argument("out")
+    sp.add_argument("--num-iters", type=int, default=100)
+    sp.add_argument("--init-cond", default=None)
+    sp.add_argument("--measurement", default=None)
+    sp.add_argument("--output", default=None)
+    sp.set_defaults(fn=cmd_write_example)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,6 +25,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _mm(A, B):
@@ -142,34 +143,44 @@ def block_tridiag_jacobian(f, y, ncomp):
     if C != ncomp:
         raise ValueError("ncomp mismatch")
 
-    idx = jnp.arange(n)
+    idx = np.arange(n)
+    # static 0/1 masks per color over the cell axis
+    color_mask = [jnp.asarray((idx % 3 == c).astype(np.float32), y.dtype)
+                  for c in range(3)]
 
-    def one_seed(cb):
-        c, b = cb // C, cb % C
-        seed = jnp.zeros_like(y)
-        seed = seed.at[..., b, :].set(
-            jnp.where(idx % 3 == c, 1.0, 0.0).astype(y.dtype))
-        return jax.jvp(f, (y,), (seed,))[1]
-
-    # (3*C, ..., C, n) stack of JVP outputs
-    us = jax.vmap(one_seed)(jnp.arange(3 * C))
-
-    L = jnp.zeros(y.shape[:-2] + (C, C, n), dtype=y.dtype)
-    D = jnp.zeros_like(L)
-    U = jnp.zeros_like(L)
+    # Seeds built from static masks and assembled with static indices —
+    # no scatters, no inner vmap (both can trip the TPU Mosaic pipeline
+    # inside long scans, and static assembly compiles leaner anyway).
+    Lcols = [[None] * C for _ in range(C)]
+    Dcols = [[None] * C for _ in range(C)]
+    Ucols = [[None] * C for _ in range(C)]
+    zero_plane = jnp.zeros(y.shape[:-2] + (n,), dtype=y.dtype)
     for c in range(3):
-        # dsel per cell: 0 -> this color is the cell itself (diag),
-        # 1 -> the right neighbor (upper), 2 -> the left neighbor (lower)
         dsel = (c - idx) % 3
-        is_d = dsel == 0
-        is_u = dsel == 1
-        is_l = dsel == 2
+        is_d = jnp.asarray(dsel == 0)
+        is_u = jnp.asarray(dsel == 1)
+        is_l = jnp.asarray(dsel == 2)
         for b in range(C):
-            u = us[c * C + b]  # (..., C, n) = J[:, (cells = c mod 3, comp b)]
-            D = D.at[..., :, b, :].set(jnp.where(is_d, u, D[..., :, b, :]))
-            U = U.at[..., :, b, :].set(jnp.where(is_u, u, U[..., :, b, :]))
-            L = L.at[..., :, b, :].set(jnp.where(is_l, u, L[..., :, b, :]))
-    return L, D, U
+            comps = [color_mask[c] if bb == b else jnp.zeros(n, y.dtype)
+                     for bb in range(C)]
+            seed = jnp.broadcast_to(jnp.stack(comps, axis=0), y.shape)
+            u = jax.jvp(f, (y,), (seed,))[1]  # (..., C, n)
+            for a in range(C):
+                ua = u[..., a, :]
+                Dcols[a][b] = jnp.where(is_d, ua,
+                                        Dcols[a][b] if Dcols[a][b] is not None
+                                        else zero_plane)
+                Ucols[a][b] = jnp.where(is_u, ua,
+                                        Ucols[a][b] if Ucols[a][b] is not None
+                                        else zero_plane)
+                Lcols[a][b] = jnp.where(is_l, ua,
+                                        Lcols[a][b] if Lcols[a][b] is not None
+                                        else zero_plane)
+
+    def assemble(cols):
+        return jnp.stack([jnp.stack(row, axis=-2) for row in cols], axis=-3)
+
+    return assemble(Lcols), assemble(Dcols), assemble(Ucols)
 
 
 def block_tridiag_matvec(L, D, U, x):

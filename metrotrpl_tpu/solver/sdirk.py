@@ -126,7 +126,9 @@ def sdirk_step(rhs, y, h, scheme, newton_iters=2):
         acc = y
         for j in range(i):
             if scheme.A[i, j] != 0.0:
-                acc = acc + (hb * scheme.A[i, j]) * fs[j]
+                # python-float coefficient: numpy scalars would promote a
+                # float32 carry to float64 under jax_enable_x64
+                acc = acc + (hb * float(scheme.A[i, j])) * fs[j]
         if scheme.A[i, i] == 0.0:
             # explicit first stage (ESDIRK): Y_i = y_n
             fs.append(rhs(y))

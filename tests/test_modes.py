@@ -1,0 +1,155 @@
+"""Secondary-mode tests: dense sampler, MLE, CLI round trip, surrogate."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metrotrpl_tpu.inference.dense import bayes, export, modify_scale_factors, random_grid
+from metrotrpl_tpu.inference.mle import mle
+from metrotrpl_tpu.io.logging import start_logging, stop_logging
+from metrotrpl_tpu.oracle import solve_reference
+from metrotrpl_tpu.oracle.scipy_reference import beer_lambert as bl
+from metrotrpl_tpu.surrogate import NeuralNetwork, multiexp
+
+UC = {"n0": 1e-21, "p0": 1e-21, "mu_n": 1e5, "mu_p": 1e5, "ks": 1e12,
+      "Cn": 1e33, "Cp": 1e33, "Sf": 1e-2, "Sb": 1e-2}
+TRUE = {"n0": 1e8, "p0": 3e15, "mu_n": 20, "mu_p": 20, "ks": 4.8e-11,
+        "Cn": 4.4e-29, "Cp": 4.4e-29, "Sf": 10, "Sb": 10,
+        "tauN": 511, "tauP": 871, "eps": 10, "Tm": 300}
+
+
+def _tiny_problem(tmp_path, active=("p0", "tauN")):
+    names = list(TRUE)
+    nx, th = 24, 311.0
+    dx = th / nx
+    x = np.linspace(dx / 2, th - dx / 2, nx)
+    t = np.linspace(0, 500, 41)
+    pm = {k: v * UC.get(k, 1) for k, v in TRUE.items()}
+    pl = solve_reference(bl(2.12e11 * 1e-14, 6e4 * 1e-7, x), th, nx, t, pm)
+    e_data = ([t], [np.log10(pl)], [np.full(len(t), 0.05)])
+    sim_info = {"lengths": [th], "nx": [nx], "meas_types": ["TRPL"],
+                "num_meas": 1}
+    param_info = {
+        "names": names,
+        "unit_conversions": UC,
+        "do_log": {n: 1 for n in names},
+        "active": {n: (1 if n in active else 0) for n in names},
+        "init_guess": dict(TRUE),
+        "prior_dist": {"n0": (0, np.inf), "p0": (1e15, 6e15),
+                       "mu_n": (1, 100), "mu_p": (1, 100),
+                       "ks": (1e-11, 1e-9), "Cn": (1e-29, 1e-27),
+                       "Cp": (1e-29, 1e-27), "Sf": (1, 100),
+                       "Sb": (1, 100), "tauN": (200, 1000),
+                       "tauP": (1, 1e4), "eps": (0, np.inf),
+                       "Tm": (0, np.inf)},
+        "trial_move": {n: 0.02 for n in names},
+    }
+    flags = {"init_cond_path": "x", "measurement_path": "x",
+             "output_path": str(tmp_path / "out"), "ini_mode": "fluence",
+             "num_iters": 32, "solver": ("solveivp",), "model": "std",
+             "model_uncertainty": 0.05, "log_y": 1, "hard_bounds": 1,
+             "checkpoint_freq": 32, "load_checkpoint": None,
+             "scale_factor": None, "hmax": 4.0}
+    iniPar = np.array([[2.12e11, 6e4, 1]])
+    return sim_info, param_info, flags, e_data, iniPar
+
+
+def test_random_grid_respects_bounds_and_log(rng):
+    g = random_grid(np.array([1e1, 0.0]), np.array([1e3, 2.0]),
+                    np.array([1, 0]), 500, rng)
+    assert g.shape == (500, 2)
+    assert np.all((g[:, 0] >= 1e1) & (g[:, 0] <= 1e3))
+    assert np.all((g[:, 1] >= 0) & (g[:, 1] <= 2))
+    # log-uniform: median near geometric center
+    assert 50 < np.median(g[:, 0]) < 200
+
+
+def test_modify_scale_factors():
+    pi = {"names": ["a", "_s0"], "init_guess": {"_s0": 2.0},
+          "prior_dist": {"_s0": (0, np.inf)}}
+    modify_scale_factors(pi, {"scale_factor": [10.0, [0], None, [2.0]]})
+    assert pi["prior_dist"]["_s0"] == (0.2, 20.0)
+
+
+def test_dense_sampler_favors_truth(tmp_path):
+    sim_info, pi, flags, e_data, iniPar = _tiny_problem(tmp_path)
+    N, P, X = bayes(None, None, iniPar, sim_info, e_data, flags, pi,
+                    seed=3, dtype=jnp.float64)
+    assert P.shape == (32,)
+    # best sample should be the one closest to truth in (p0, tauN) log space
+    d = (np.log10(X[:, 1] / 3e15) ** 2 + np.log10(X[:, 9] / 511) ** 2)
+    assert abs(np.argmax(P) - np.argmin(d)) == 0 or (
+        P[np.argmin(d)] >= np.sort(P)[-5])
+    export(str(tmp_path / "run" / "cpu0"), P, X)
+    assert os.path.exists(str(tmp_path / "run" / "cpu0_P.npy"))
+
+
+def test_mle_converges_toward_truth(tmp_path):
+    sim_info, pi, flags, e_data, iniPar = _tiny_problem(tmp_path)
+    pi["init_guess"] = dict(TRUE, p0=1.5e15, tauN=400)
+    logger, handler = start_logging(log_dir=str(tmp_path), name="mle")
+    ens = mle(e_data, sim_info, pi, iniPar, flags, "mle.pik", logger,
+              maxiter=60)
+    stop_logging(logger, handler)
+    best = ens.H.loglikelihood[0, 1:ens.latest_iter].max()
+    start = ens.H.loglikelihood[0, 1]
+    assert best > start + 10  # made real progress
+    assert os.path.exists(str(tmp_path / "out" / "mle.pik"))
+
+
+def test_cli_mcmc_roundtrip(tmp_path, monkeypatch):
+    from metrotrpl_tpu.cli import main
+    from metrotrpl_tpu.config import generate_config_script_file
+
+    sim_info, pi, flags, e_data, iniPar = _tiny_problem(tmp_path)
+    t, v, u = e_data
+    rows = np.stack([t[0], 10 ** v[0], 10 ** v[0] * 0.02], axis=1)
+    np.savetxt(str(tmp_path / "data.csv"), rows, delimiter=",")
+    np.savetxt(str(tmp_path / "ic.csv"), iniPar, delimiter=",")
+    flags = dict(flags)
+    flags.update({
+        "init_cond_path": str(tmp_path / "data_ic.csv"),
+        "measurement_path": str(tmp_path / "data.csv"),
+        "num_iters": 10, "checkpoint_freq": 10,
+        "parallel_tempering": [1.0, 4.0], "temper_freq": 5,
+        "irf_convolution": None, "force_min_y": 0,
+    })
+    flags["init_cond_path"] = str(tmp_path / "ic.csv")
+    meas = {"time_cutoff": [0, 500], "select_obs_sets": None}
+    cfg = str(tmp_path / "cfg.txt")
+    generate_config_script_file(cfg, sim_info | {"nx": [24]},
+                                pi, meas, flags)
+    main(["mcmc", cfg, "--jobid", "7", "--seed", "5"])
+    out = str(tmp_path / "out" / "CPU7-final.pik")
+    assert os.path.exists(out)
+    from metrotrpl_tpu.io.ensemble import load_checkpoint
+    ens = load_checkpoint(out)
+    assert ens.H.states.shape == (2, 13, 10)
+    assert np.isfinite(ens.H.loglikelihood).all()
+
+
+def test_surrogate_multiexp_and_roundtrip(tmp_path):
+    t = np.linspace(0, 10, 50)
+    args = jnp.asarray([-0.5, -0.1, 2.0, 3.0])  # rates then coefs
+    y = np.asarray(multiexp(jnp.asarray(t), args))
+    expect = 2 * np.exp(-0.5 * t) + 3 * np.exp(-0.1 * t)
+    np.testing.assert_allclose(y, expect, rtol=1e-6)
+
+    nn = NeuralNetwork()
+    rng = np.random.default_rng(0)
+    nn.params = [(jnp.asarray(rng.standard_normal((14, 8))),
+                  jnp.asarray(rng.standard_normal(8))),
+                 (jnp.asarray(rng.standard_normal((8, 4))),
+                  jnp.asarray(rng.standard_normal(4)))]
+    nn.model_scales = np.array([np.zeros(14), np.ones(14),
+                                np.zeros(4), np.ones(4)], dtype=object)
+    nn.save_npz(str(tmp_path / "w.npz"))
+    np.save(str(tmp_path / "s.npy"), nn.model_scales, allow_pickle=True)
+    nn2 = NeuralNetwork()
+    nn2.load_model(str(tmp_path / "w.npz"), str(tmp_path / "s.npy"))
+    x = np.abs(rng.standard_normal((1, 14))) + 0.1
+    y1 = np.asarray(nn.predict(t, x))
+    y2 = np.asarray(nn2.predict(t, x))
+    np.testing.assert_allclose(y1, y2, rtol=1e-6)
