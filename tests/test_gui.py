@@ -1,0 +1,195 @@
+"""GUI-layer tests (headless): secondary parameters (reference
+test_secondary_params.py contracts incl. pinned realism values), chain
+loading, exports, diagnostics, and the quicksim batch runner."""
+
+import os
+
+import numpy as np
+import pytest
+
+from metrotrpl_tpu.gui.plots import chain_diffusion, equilibration_index
+from metrotrpl_tpu.gui.quicksim import QuicksimManager, QuicksimTask, run_tasks
+from metrotrpl_tpu.gui.secondary_parameters import (
+    SecondaryParameters,
+    hi_tau_srh,
+    li_tau_eff,
+    li_tau_srh,
+)
+from metrotrpl_tpu.gui.window import (
+    diffusion_report,
+    export_histogram,
+    export_traces,
+    load_ensemble_chains,
+)
+
+
+class TestSecondaryParameters:
+    def test_li_tau_eff_surface_only_limit(self):
+        p = {"ks": np.zeros(1), "p0": 1, "tauN": np.full(1, np.inf),
+             "Sf": np.ones(1), "Sb": 0, "Cp": np.zeros(1), "thickness": 1,
+             "mu_n": np.full(1, np.inf), "mu_p": np.full(1, np.inf)}
+        with np.errstate(divide="ignore"):
+            assert li_tau_eff(p)[0] == pytest.approx(100)
+
+    def test_li_tau_eff_diffusion_only_limit(self):
+        p = {"ks": np.zeros(1), "p0": 1, "tauN": np.full(1, np.inf),
+             "Sf": np.full(1, np.inf), "Sb": 0, "Cp": np.zeros(1),
+             "thickness": 1, "mu_n": np.ones(1), "mu_p": np.ones(1)}
+        with np.errstate(divide="ignore"):
+            assert li_tau_eff(p)[0] == pytest.approx(3.9424585074839604e-05)
+
+    def test_li_tau_eff_realism_pinned(self):
+        """Pinned value from the reference suite
+        (test_secondary_params.py:94-97)."""
+        p = {"ks": np.full(1, 4.8e-11), "p0": 3e15,
+             "tauN": np.full(1, 511.0), "Sf": np.full(1, 10.0), "Sb": 10,
+             "Cp": np.zeros(1), "thickness": 2000,
+             "mu_n": np.full(1, 20.0), "mu_p": np.full(1, 20.0)}
+        with np.errstate(divide="ignore"):
+            assert li_tau_eff(p)[0] == pytest.approx(454.36610893)
+
+    def test_li_tau_srh_realism_pinned(self):
+        p = {"tauN": np.full(1, 511.0), "Sf": np.full(1, 10), "Sb": 10,
+             "thickness": 2000, "mu_n": np.full(1, 20.0),
+             "mu_p": np.full(1, 20.0)}
+        assert li_tau_srh(p)[0] == pytest.approx(486.1759809086)
+
+    def test_hi_tau_srh_limits_and_realism(self):
+        p = {"tauN": 450.0, "tauP": 500.0, "Sf": np.zeros(1), "Sb": 0,
+             "thickness": 1, "mu_n": np.zeros(1), "mu_p": np.zeros(1)}
+        with np.errstate(divide="ignore", invalid="ignore"):
+            assert float(hi_tau_srh(p)) == pytest.approx(950)
+        p = {"tauN": np.full(1, np.inf), "tauP": np.full(1, np.inf),
+             "Sf": np.ones(1), "Sb": 0, "thickness": 1,
+             "mu_n": np.full(1, np.inf), "mu_p": np.full(1, np.inf)}
+        with np.errstate(divide="ignore"):
+            assert hi_tau_srh(p)[0] == pytest.approx(200)
+        p = {"tauN": np.full(1, 511.0), "tauP": np.full(1, 871.0),
+             "Sf": np.full(1, 10), "Sb": 10, "thickness": 2000,
+             "mu_n": np.full(1, 20.0), "mu_p": np.full(1, 20.0)}
+        # The reference's own test pins 1292.7090100
+        # (test_secondary_params.py), which is stale against its current
+        # HI_tau_surf_asy formula (the 4x diffusion term); evaluating the
+        # reference formula by hand gives 1292.8076, which we pin.
+        assert hi_tau_srh(p)[0] == pytest.approx(1292.807646, rel=1e-8)
+
+    def test_registry_get_and_thickness_error(self):
+        sp = SecondaryParameters()
+        data = {"ks": np.full(3, 4.8e-11), "p0": np.full(3, 3e15)}
+        sp.get(data, "t_rad", "311")
+        np.testing.assert_allclose(data["t_rad"],
+                                   1 / (4.8e-11 * 3e15) * 1e9)
+        data2 = {"Sf": np.ones(2), "Sb": np.ones(2), "mu_n": np.ones(2),
+                 "mu_p": np.ones(2), "tauN": np.ones(2)}
+        with pytest.raises(ValueError):
+            sp.get(data2, "LI_tau_srh", "not-a-number")
+        with pytest.raises(KeyError):
+            sp.get({"ks": np.ones(1)}, "t_rad", "311")
+
+    def test_all_registered_quantities_computable(self):
+        sp = SecondaryParameters()
+        data = {n: np.full(4, v) for n, v in {
+            "ks": 4.8e-11, "p0": 3e15, "tauN": 511.0, "tauP": 871.0,
+            "Sf": 10.0, "Sb": 10.0, "Cn": 4.4e-29, "Cp": 4.4e-29,
+            "mu_n": 20.0, "mu_p": 20.0, "lambda": 0.1, "kC": 1e-10,
+            "Nt": 1e14, "tauE": 200.0}.items()}
+        for name in sp.func:
+            sp.get(data, name, "311")
+            assert np.isfinite(data[name]).all(), name
+
+
+def _make_pickle(tmp_path):
+    from tests.test_metropolis import _pa_setup
+    from metrotrpl_tpu.inference import metro
+
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(tmp_path, num_iters=30)
+    metro(sim_info, iniPar, e_data, mcmc, pi, export_path="final.pik",
+          seed=4)
+    return str(tmp_path / "out" / "final.pik")
+
+
+def test_load_chains_and_exports(tmp_path):
+    path = _make_pickle(tmp_path)
+    chains, meta = load_ensemble_chains(path)
+    assert len(chains) == 3
+    assert meta["names"] == ["x0"]
+    assert len(chains[0].data["x0"]) == 30
+    assert "accept" in chains[0].data
+
+    out = export_traces(str(tmp_path / "trace"), chains, "x0", burn=5)
+    rows = open(out).read().strip().splitlines()
+    assert len(rows) == 26  # header + 25 samples
+
+    out_npy = export_traces(str(tmp_path / "trace.npy"), chains, "x0",
+                            fmt="npy")
+    arr = np.load(out_npy)
+    assert arr.shape == (3, 30)
+
+    hist_path = export_histogram(
+        str(tmp_path / "hist"), np.abs(chains[0].data["x0"]) + 1.0,
+        bins=16)
+    assert len(open(hist_path).read().strip().splitlines()) == 17
+
+    rep = diffusion_report(chains, meta)
+    assert len(rep) == 3
+    assert all(v >= 0 for v in rep.values())
+
+
+def test_equilibration_index():
+    ll = np.concatenate([np.linspace(-1000, -10, 200), np.full(300, -10.0)])
+    k = equilibration_index(ll)
+    assert 100 < k < 260
+
+
+def test_chain_diffusion_zero_for_frozen_chain():
+    states = np.zeros((3, 50))
+    assert chain_diffusion(states, np.array([True, True, False])) == 0.0
+
+
+def test_quicksim_run_tasks_matches_forward():
+    from metrotrpl_tpu.oracle import solve_reference
+    from metrotrpl_tpu.oracle.scipy_reference import beer_lambert as bl
+
+    params = {"n0": 1e8, "p0": 3e15, "mu_n": 20, "mu_p": 20, "ks": 4.8e-11,
+              "Cn": 4.4e-29, "Cp": 4.4e-29, "Sf": 10, "Sb": 10,
+              "tauN": 511, "tauP": 871, "eps": 10, "Tm": 300}
+    task = QuicksimTask(thickness=311, nx=24, final_time=200, nt=21,
+                        fluence=2.12e11, absp=6e4, direction=1,
+                        params=params)
+    (t, sol), = run_tasks([task])
+    uc = {"n0": 1e-21, "p0": 1e-21, "mu_n": 1e5, "mu_p": 1e5, "ks": 1e12,
+          "Cn": 1e33, "Cp": 1e33, "Sf": 1e-2, "Sb": 1e-2}
+    pm = {k: v * uc.get(k, 1) for k, v in params.items()}
+    dx = 311 / 24
+    x = np.linspace(dx / 2, 311 - dx / 2, 24)
+    ref = solve_reference(bl(2.12e11 * 1e-14, 6e4 * 1e-7, x), 311, 24,
+                          t, pm)
+    err = np.abs(np.log10(sol) - np.log10(ref))
+    assert err.max() < 1e-4
+    # scale factors apply multiplicatively
+    (t2, sol2), = run_tasks([task], scale_factors=[2.0])
+    np.testing.assert_allclose(sol2, 2 * sol, rtol=1e-12)
+
+
+def test_quicksim_manager_background_process():
+    params = {"n0": 1e8, "p0": 3e15, "mu_n": 20, "mu_p": 20, "ks": 4.8e-11,
+              "Cn": 4.4e-29, "Cp": 4.4e-29, "Sf": 10, "Sb": 10,
+              "tauN": 511, "tauP": 871, "eps": 10, "Tm": 300}
+    task = QuicksimTask(thickness=311, nx=16, final_time=50, nt=6,
+                        fluence=2.12e11, absp=6e4, direction=1,
+                        params=params)
+    qs = QuicksimManager()
+    qs.simulate([task])
+    results = []
+    done = False
+    import time
+    deadline = time.time() + 120
+    while not done and time.time() < deadline:
+        items, done = qs.poll()
+        results.extend(items)
+        time.sleep(0.5)
+    qs.join(10)
+    assert done
+    assert len(results) == 1
+    idx, t, sol, msg = results[0]
+    assert msg == "ok" and np.isfinite(sol).all()
