@@ -12,6 +12,8 @@ import sys
 
 import numpy as np
 
+from metrotrpl_tpu.runtime import load_csv
+
 
 def get_data(exp_file, ic_flags, MCMC_fields, rng=None):
     """Load and preprocess measurement data.
@@ -39,7 +41,7 @@ def get_data(exp_file, ic_flags, MCMC_fields, rng=None):
     log_y = MCMC_fields["log_y"]
     bval_cutoff = sys.float_info.min
 
-    data = np.loadtxt(exp_file, delimiter=",")
+    data = load_csv(exp_file)  # native parser with np.loadtxt fallback
     times, y, unc = data[:, 0], data[:, 1].copy(), data[:, 2].copy()
 
     if noise_level:

@@ -146,7 +146,7 @@ def build_mh_kernel(like_plan, move_plan, temps, base_trial_move, temper_freq,
 
 def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
            export_path="", dtype=jnp.float64, shard_batch=None,
-           starting_iter=0, need_initial_state=True):
+           starting_iter=0, need_initial_state=True, profile_dir=None):
     """Host driver: windows of compiled iterations with checkpointing
     (reference metro() loop structure, metropolis.py:373-463).
 
@@ -181,11 +181,28 @@ def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
         starting_iter = 1
 
     k = starting_iter
+    profiled = False
     while k < num_iters:
         n_this = min(window, num_iters - k)
         logger.info(f"Simulating from {k} to {k + n_this}")
-        states, ll_T, swap_att, swap_acc, hist = kernel.run_window(
-            states, ll_T, jnp.asarray(k), base_key)
+        t_win = perf_counter()
+        if profile_dir and not profiled:
+            # device trace of one compiled window (superset of the
+            # reference's wall-clock accumulators, SURVEY.md section 5)
+            with jax.profiler.trace(profile_dir):
+                states, ll_T, swap_att, swap_acc, hist = kernel.run_window(
+                    states, ll_T, jnp.asarray(k), base_key)
+                jax.block_until_ready(states)
+            profiled = True
+            logger.info(f"Profiler trace written to {profile_dir}")
+        else:
+            states, ll_T, swap_att, swap_acc, hist = kernel.run_window(
+                states, ll_T, jnp.asarray(k), base_key)
+        jax.block_until_ready(states)
+        logger.info(
+            f"Window of {n_this} iters took {perf_counter() - t_win:.3f} s "
+            f"({n_this * K / max(perf_counter() - t_win, 1e-9):.1f} "
+            "walker-steps/s)")
         h_states, h_ll, h_accept = (np.asarray(h) for h in hist)
         # scan emits `window` iterations; keep the first n_this
         H.states[:, :, k:k + n_this] = h_states[:n_this].transpose(1, 2, 0)
@@ -293,6 +310,7 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
            export_path=export_path, dtype=dtype,
            shard_batch=kwargs.get("shard_batch"),
            starting_iter=starting_iter,
-           need_initial_state=need_initial_state)
+           need_initial_state=need_initial_state,
+           profile_dir=kwargs.get("profile_dir"))
     stop_logging(logger, handler, 0)
     return ensemble

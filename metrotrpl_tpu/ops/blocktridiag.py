@@ -143,10 +143,10 @@ def block_tridiag_jacobian(f, y, ncomp):
     if C != ncomp:
         raise ValueError("ncomp mismatch")
 
-    idx = np.arange(n)
-    # static 0/1 masks per color over the cell axis
-    color_mask = [jnp.asarray((idx % 3 == c).astype(np.float32), y.dtype)
-                  for c in range(3)]
+    # masks computed in-trace (2D iota — TPU/Pallas requires >= 2D, and
+    # in-trace construction avoids captured constants inside Pallas kernels)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+    color_mask = [(idx % 3 == c).astype(y.dtype) for c in range(3)]
 
     # Seeds built from static masks and assembled with static indices —
     # no scatters, no inner vmap (both can trip the TPU Mosaic pipeline
@@ -157,11 +157,11 @@ def block_tridiag_jacobian(f, y, ncomp):
     zero_plane = jnp.zeros(y.shape[:-2] + (n,), dtype=y.dtype)
     for c in range(3):
         dsel = (c - idx) % 3
-        is_d = jnp.asarray(dsel == 0)
-        is_u = jnp.asarray(dsel == 1)
-        is_l = jnp.asarray(dsel == 2)
+        is_d = dsel == 0
+        is_u = dsel == 1
+        is_l = dsel == 2
         for b in range(C):
-            comps = [color_mask[c] if bb == b else jnp.zeros(n, y.dtype)
+            comps = [color_mask[c] if bb == b else jnp.zeros_like(color_mask[c])
                      for bb in range(C)]
             seed = jnp.broadcast_to(jnp.stack(comps, axis=0), y.shape)
             u = jax.jvp(f, (y,), (seed,))[1]  # (..., C, n)

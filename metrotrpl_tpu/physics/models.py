@@ -27,6 +27,7 @@ is a dummy with zero dynamics.
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -120,39 +121,65 @@ def _bulk_recombination(M, Ntot, Ptot, p):
     return rate * M
 
 
+
+
+def _fresh(x):
+    """Force an offset-0 vector layout. Mosaic (Pallas TPU) cannot lower a
+    stack/concat whose inputs carry different internal lane offsets (e.g.
+    values derived from shifted slices); a masked identity rewrites the
+    layout. XLA folds this away outside Pallas."""
+    mask = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[-1]), 1)[0] >= 0
+    return jnp.where(mask, x, 0.0)
+
+
+def _comp(y, c):
+    """Extract component c of y (..., C, n) as a fresh offset-0 (..., n)
+    value. A plain y[..., c, :] slice carries an internal layout offset that
+    Mosaic's pad/concat lowering cannot handle inside Pallas kernels, so the
+    extraction is a masked reduction (negligible cost, XLA folds it)."""
+    C = y.shape[-2]
+    sel = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0) == c
+    return jnp.sum(jnp.where(sel, y, 0.0), axis=-2)
+
+
 def rhs_std(y, p):
     """dy/dt for the std model. y: (..., 3, nx)."""
-    dN = y[..., 0, :]
-    dP = y[..., 1, :]
-    E_int = y[..., 2, :-1]
+    dN = _comp(y, 0)
+    dP = _comp(y, 1)
+    E_int = _comp(y, 2)[..., :-1]
 
     jn, jp, M, Ntot, Ptot = _fluxes(dN, dP, E_int, p)
     R = _bulk_recombination(M, Ntot, Ptot, p)
 
-    ddN = (jn[..., 1:] - jn[..., :-1]) * p.inv_dx - R
-    ddP = -(jp[..., 1:] - jp[..., :-1]) * p.inv_dx - R
-    dE_int = -(jn[..., 1:-1] + jp[..., 1:-1]) * p.inv_dx
-    dE = jnp.concatenate([dE_int, jnp.zeros_like(dE_int[..., :1])], axis=-1)
+    ddN = _fresh((jn[..., 1:] - jn[..., :-1]) * p.inv_dx - R)
+    ddP = _fresh(-(jp[..., 1:] - jp[..., :-1]) * p.inv_dx - R)
+    # dE over edges 1..nx; the last entry is exactly 0 (the boundary
+    # currents cancel: jn+jp = -sb+sb), masked anyway — no concat, which
+    # Mosaic cannot lower for offset operands.
+    n = dN.shape[-1]
+    interior = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0] < n - 1
+    dE = jnp.where(interior, -(jn[..., 1:] + jp[..., 1:]) * p.inv_dx, 0.0)
     return jnp.stack([ddN, ddP, dE], axis=-2)
 
 
 def rhs_traps(y, p):
     """dy/dt for the shallow-trap model. y: (..., 4, nx)."""
-    dN = y[..., 0, :]
-    Ntr = y[..., 1, :]
-    dP = y[..., 2, :]
-    E_int = y[..., 3, :-1]
+    dN = _comp(y, 0)
+    Ntr = _comp(y, 1)
+    dP = _comp(y, 2)
+    E_int = _comp(y, 3)[..., :-1]
 
     jn, jp, M, Ntot, Ptot = _fluxes(dN, dP, E_int, p)
     R = _bulk_recombination(M, Ntot, Ptot, p)
     trap = p.kc_s * Ntot * (p.nt_s - Ntr)
     detrap = Ntr * p.inv_tauE
 
-    ddN = (jn[..., 1:] - jn[..., :-1]) * p.inv_dx - R + detrap - trap
-    dNtr = trap - detrap
-    ddP = -(jp[..., 1:] - jp[..., :-1]) * p.inv_dx - R
-    dE_int = -(jn[..., 1:-1] + jp[..., 1:-1]) * p.inv_dx
-    dE = jnp.concatenate([dE_int, jnp.zeros_like(dE_int[..., :1])], axis=-1)
+    ddN = _fresh((jn[..., 1:] - jn[..., :-1]) * p.inv_dx - R + detrap - trap)
+    dNtr = _fresh(trap - detrap)
+    ddP = _fresh(-(jp[..., 1:] - jp[..., :-1]) * p.inv_dx - R)
+    n = dN.shape[-1]
+    interior = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0] < n - 1
+    dE = jnp.where(interior, -(jn[..., 1:] + jp[..., 1:]) * p.inv_dx, 0.0)
     return jnp.stack([ddN, dNtr, ddP, dE], axis=-2)
 
 
@@ -194,8 +221,8 @@ def observables_std(y, p, dx, model="std"):
     trapezoid-with-half-edge-cells scheme, which reduces exactly to
     dx * sum over cell-centered values (reference forward_solver.py:258-264).
     """
-    dN = y[..., 0, :]
-    dP = y[..., 2, :] if model == "traps" else y[..., 1, :]
+    dN = _comp(y, 0)
+    dP = _comp(y, 2) if model == "traps" else _comp(y, 1)
     M = _excess_product(dN, dP, p)
     pl_t = dx * jnp.sum(M, axis=-1)
     # photoconductivity ~ mu_n dN + mu_p dP; express via diff coeffs to stay

@@ -94,7 +94,7 @@ def make_forward_plan(lengths, nxes, meas_types, times_list, hmax=4.0,
 
 def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
                         model="std", scheme="sdirk3", newton_iters=2,
-                        min_y=None):
+                        min_y=None, backend="xla", block_b=16):
     """Run a batch of forward simulations and return linear observables in
     measurement units (TRPL [cm^-2 s^-1] / TRTS, selected per row).
 
@@ -116,7 +116,7 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
     # produce corrupted rows; padded rows replicate row 0 and are dropped
     # before returning.
     B_in = init_dN.shape[0]
-    pad = (-B_in) % 8
+    pad = (-B_in) % (block_b if backend.startswith("pallas") else 8)
     if pad:
         def _pad8(a):
             a = jnp.asarray(a)
@@ -138,13 +138,21 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
     dxb = jnp.asarray(dx, dtype)[..., None]
 
     y0 = initial_state(init_dN, ns[..., None], model=model, dtype=dtype)
-    rhs_fn = RHS[model]
-    rhs = lambda y: rhs_fn(y, p)
-    observe = lambda y: observables_std(y, p, dxb[..., 0], model=model)
-
     dts = jnp.asarray(dt, dtype).T  # (n_steps, B)
-    pl_t, trts_t = integrate_observables(
-        rhs, observe, y0, dts, scheme_name=scheme, newton_iters=newton_iters)
+
+    if backend in ("pallas", "pallas_interpret"):
+        from metrotrpl_tpu.solver.pallas_step import integrate_observables_pallas
+        pl_t, trts_t = integrate_observables_pallas(
+            p, y0, dts, jnp.asarray(dx, dtype), model=model,
+            scheme_name=scheme, newton_iters=newton_iters, block_b=block_b,
+            interpret=(backend == "pallas_interpret"))
+    else:
+        rhs_fn = RHS[model]
+        rhs = lambda y: rhs_fn(y, p)
+        observe = lambda y: observables_std(y, p, dxb[..., 0], model=model)
+        pl_t, trts_t = integrate_observables(
+            rhs, observe, y0, dts, scheme_name=scheme,
+            newton_iters=newton_iters)
     # (n_steps+1, B) -> (B, nt) gather at output knots
     pl_out = jnp.take_along_axis(pl_t.T, out_idx, axis=1)
     trts_out = jnp.take_along_axis(trts_t.T, out_idx, axis=1)
