@@ -52,7 +52,9 @@ def search_c_grps(c_grps, i):
 class LikelihoodPlan(NamedTuple):
     """Static data for batched likelihood evaluation (host numpy)."""
     kind: str                   # "pde" | "pa"
-    fwd: Optional[ForwardPlan]
+    # forward-solve groups: measurements sharing an nx batch together;
+    # tuple of (measurement-index array, ForwardPlan)
+    fwd: Optional[tuple]
     n_meas: int
     n_params: int
     # parameter machinery
@@ -163,11 +165,28 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
     n_conv = np.zeros(n_meas, dtype=np.int64)
 
     if kind == "pde":
-        fwd = make_forward_plan(
-            sim_info["lengths"], sim_info["nx"], meas_types, times,
-            hmax=hmax if hmax is not None else MCMC_fields.get("hmax", 4.0),
-            model=MCMC_fields["model"], scheme=scheme,
-            newton_iters=newton_iters, refine=refine)
+        # group measurements by nx so each group batches with static shapes
+        # (the reference allows per-measurement nx, MCMC_script_writer.py:48;
+        # note density-mode initial profiles require a uniform nx — a ragged
+        # CSV is unloadable in the reference too)
+        nx_list = [int(n) for n in sim_info["nx"]]
+        if MCMC_fields["ini_mode"] == "density" and len(set(nx_list)) > 1:
+            raise NotImplementedError(
+                "density-mode initial profiles require a uniform nx")
+        hm = hmax if hmax is not None else MCMC_fields.get("hmax", 4.0)
+        fwd = []
+        for nx_val in sorted(set(nx_list)):
+            idx = np.array([m for m in range(n_meas)
+                            if nx_list[m] == nx_val])
+            fp = make_forward_plan(
+                [sim_info["lengths"][m] for m in idx],
+                [nx_val] * len(idx),
+                [meas_types[m] for m in idx],
+                [times[m] for m in idx],
+                hmax=hm, model=MCMC_fields["model"], scheme=scheme,
+                newton_iters=newton_iters, refine=refine)
+            fwd.append((idx, fp))
+        fwd = tuple(fwd)
 
         irf_spec = MCMC_fields.get("irf_convolution", None)
         if irf_spec is not None:
@@ -249,8 +268,11 @@ def _gather_or_one(states, idx):
     return jnp.where(idx >= 0, vals, jnp.ones_like(vals))
 
 
-def make_eval_logll(plan, dtype=jnp.float64):
+def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16):
     """Build the batched evaluation function.
+
+    backend : "xla" (portable) or "pallas" (fused TPU kernel, ~5x faster
+    on hardware; TPU-only).
 
     Returns eval_logll(states, temps) with
         states : (K, P) parameter states in entry units
@@ -278,13 +300,8 @@ def make_eval_logll(plan, dtype=jnp.float64):
             return {"logll_T": ll, "per_meas": ll[:, None, :]}
         return eval_pa
 
-    fwd = plan.fwd
-    nx = fwd.nx
-    x_centers = jnp.asarray(fwd.x_centers, dtype)             # (M, nx)
-    dx = jnp.asarray(fwd.dx, dtype)
-    dt = jnp.asarray(fwd.dt, dtype)
-    out_idx = jnp.asarray(fwd.out_idx)
-    is_trpl = jnp.asarray(fwd.is_trpl)
+    groups = plan.fwd
+    nt_exp = plan.exp_times.shape[1]
     init_profiles = jnp.asarray(plan.init_profiles, dtype)
     has_irf = jnp.asarray(plan.has_irf)
     irf_tables = jnp.asarray(plan.irf_tables, dtype)
@@ -295,7 +312,7 @@ def make_eval_logll(plan, dtype=jnp.float64):
     conv_t_base = res_t[:, ::2]                               # (M, n_conv_pts)
 
     name_list = list(plan.param_names)
-    model = fwd.model
+    model = groups[0][1].model
 
     def eval_logll(states, temps):
         K = states.shape[0]
@@ -308,31 +325,53 @@ def make_eval_logll(plan, dtype=jnp.float64):
         def repeat_k(a):  # (K, ...) -> (K*M, ...) interleaved per chain
             return jnp.repeat(a, M, axis=0)
 
-        raw = {}
-        for n in ("n0", "p0", "mu_n", "mu_p", "ks", "Cn", "Cp", "Sf", "Sb",
-                  "tauN", "tauP", "eps", "Tm", "kC", "Nt", "tauE"):
-            if n in plan.param_idx:
-                raw[n] = repeat_k(model_states[:, plan.param_idx[n]])
-
         f_mult = _gather_or_one(states, fluence_idx)          # (K, M)
         a_mult = _gather_or_one(states, absp_idx)
         s_fact = _gather_or_one(states, scale_idx)
         scale_shift = jnp.log10(s_fact).reshape(K * M)        # (K*M,)
 
-        if plan.ini_mode == "fluence":
-            fluence = (init_profiles[None, :, 0] * 1e-14) * f_mult  # [nm^-2]
-            alpha = (init_profiles[None, :, 1] * 1e-7) * a_mult     # [nm^-1]
-            direction = jnp.tile(init_profiles[None, :, 2], (K, 1))
-            init_dN = beer_lambert(
-                fluence.reshape(K * M, 1), alpha.reshape(K * M, 1),
-                tile_m(x_centers), direction.reshape(K * M, 1))
-        else:
-            init_dN = tile_m(init_profiles) * 1e-21           # [cm^-3]->[nm^-3]
+        # ---- one forward solve per nx-group; scatter into (K, M, nt) ----
+        sol_full = jnp.zeros((K, M, nt_exp), dtype)
+        for g_idx, fp in groups:
+            Mg = len(g_idx)
 
-        sol = solve_forward_batch(
-            init_dN, raw, tile_m(dx), tile_m(dt), tile_m(out_idx),
-            tile_m(is_trpl), model=model, scheme=fwd.scheme,
-            newton_iters=fwd.newton_iters)                    # (K*M, nt)
+            def tile_g(a):  # (Mg, ...) -> (K*Mg, ...)
+                return jnp.tile(a, (K,) + (1,) * (a.ndim - 1))
+
+            raw = {}
+            for n in ("n0", "p0", "mu_n", "mu_p", "ks", "Cn", "Cp", "Sf",
+                      "Sb", "tauN", "tauP", "eps", "Tm", "kC", "Nt", "tauE"):
+                if n in plan.param_idx:
+                    raw[n] = jnp.repeat(
+                        model_states[:, plan.param_idx[n]], Mg, axis=0)
+
+            x_g = jnp.asarray(fp.x_centers, dtype)
+            if plan.ini_mode == "fluence":
+                fl = (init_profiles[None, g_idx, 0] * 1e-14)                     * f_mult[:, g_idx]
+                al = (init_profiles[None, g_idx, 1] * 1e-7)                     * a_mult[:, g_idx]
+                dr = jnp.tile(init_profiles[None, g_idx, 2], (K, 1))
+                init_dN = beer_lambert(
+                    fl.reshape(K * Mg, 1), al.reshape(K * Mg, 1),
+                    tile_g(x_g), dr.reshape(K * Mg, 1))
+            else:
+                init_dN = tile_g(
+                    init_profiles[g_idx] * 1e-21)  # [cm^-3]->[nm^-3]
+
+            sol_g = solve_forward_batch(
+                init_dN, raw,
+                tile_g(jnp.asarray(fp.dx, dtype)),
+                tile_g(jnp.asarray(fp.dt, dtype)),
+                tile_g(jnp.asarray(fp.out_idx)),
+                tile_g(jnp.asarray(fp.is_trpl)),
+                model=model, scheme=fp.scheme,
+                newton_iters=fp.newton_iters, backend=backend,
+                block_b=block_b)                      # (K*Mg, nt_g)
+            sol_g = sol_g.reshape(K, Mg, -1)
+            if sol_g.shape[-1] < nt_exp:
+                sol_g = jnp.pad(
+                    sol_g, ((0, 0), (0, 0), (0, nt_exp - sol_g.shape[-1])))
+            sol_full = sol_full.at[:, g_idx, :].set(sol_g[..., :nt_exp])
+        sol = sol_full.reshape(K * M, nt_exp)
 
         b_exp_t = tile_m(exp_times)
         b_exp_mask = tile_m(exp_mask)

@@ -42,7 +42,7 @@ class MHKernel(NamedTuple):
 
 def build_mh_kernel(like_plan, move_plan, temps, base_trial_move, temper_freq,
                     do_tempering, window, dtype=jnp.float64,
-                    shard_batch=None):
+                    shard_batch=None, backend="xla", block_b=16):
     """Construct the compiled MH window function.
 
     temps : (K,) tempering temperatures (one chain per temperature).
@@ -56,7 +56,8 @@ def build_mh_kernel(like_plan, move_plan, temps, base_trial_move, temper_freq,
     temps_j = jnp.asarray(temps, dtype)
     base_move = jnp.asarray(base_trial_move, dtype)
     widths = jnp.sqrt(temps_j)[:, None] * base_move[None, :]  # (K, P)
-    eval_logll = make_eval_logll(like_plan, dtype=dtype)
+    eval_logll = make_eval_logll(like_plan, dtype=dtype, backend=backend,
+                                 block_b=block_b)
     own = jnp.arange(K)
 
     def eval_states(states):
@@ -146,7 +147,8 @@ def build_mh_kernel(like_plan, move_plan, temps, base_trial_move, temper_freq,
 
 def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
            export_path="", dtype=jnp.float64, shard_batch=None,
-           starting_iter=0, need_initial_state=True, profile_dir=None):
+           starting_iter=0, need_initial_state=True, profile_dir=None,
+           backend="xla"):
     """Host driver: windows of compiled iterations with checkpointing
     (reference metro() loop structure, metropolis.py:373-463).
 
@@ -172,7 +174,8 @@ def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
     kernel = build_mh_kernel(
         like_plan, move_plan, temps, ef["base_trial_move"],
         ef.get("temper_freq", 10), ef["do_parallel_tempering"],
-        window=window, dtype=dtype, shard_batch=shard_batch)
+        window=window, dtype=dtype, shard_batch=shard_batch,
+        backend=backend)
 
     ll_T = kernel.init_ll(states)
     if need_initial_state:
@@ -311,6 +314,7 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
            shard_batch=kwargs.get("shard_batch"),
            starting_iter=starting_iter,
            need_initial_state=need_initial_state,
-           profile_dir=kwargs.get("profile_dir"))
+           profile_dir=kwargs.get("profile_dir"),
+           backend=kwargs.get("backend", "xla"))
     stop_logging(logger, handler, 0)
     return ensemble

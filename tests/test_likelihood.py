@@ -226,3 +226,43 @@ def test_search_c_grps():
     assert search_c_grps([(0, 2, 4), (1, 3)], 3) == 1
     assert search_c_grps([(0, 2)], 5) == 5
     assert search_c_grps(None, 7) == 7
+
+
+def test_heterogeneous_nx_groups():
+    """Measurements with different nx batch into separate solve groups and
+    match per-measurement single solves (reference allows per-measurement
+    nx, MCMC_script_writer.py:48)."""
+    from metrotrpl_tpu.solver.forward import solve_single
+
+    pi = _param_info()
+    pm = {k: v * UC.get(k, 1) for k, v in TRUE.items()}
+    t1 = np.linspace(0, 400, 31)
+    t2 = np.linspace(0, 600, 41)
+    specs = [(311.0, 24, t1), (2000.0, 32, t2)]
+    curves = []
+    for th, nx, t in specs:
+        dx = th / nx
+        x = np.linspace(dx / 2, th - dx / 2, nx)
+        ic = bl(2.12e11 * 1e-14, 6e4 * 1e-7, x)
+        curves.append(solve_single(ic, pm, th, nx, t))
+    sim_info = {"lengths": [311.0, 2000.0], "nx": [24, 32],
+                "meas_types": ["TRPL", "TRPL"], "num_meas": 2}
+    mcmc = {"ini_mode": "fluence", "model": "std", "log_y": 1,
+            "model_uncertainty": 1}
+    e_data = ([t1, t2], [np.log10(c) for c in curves],
+              [np.full(len(t1), 0.05), np.full(len(t2), 0.05)])
+    iniPar = np.array([[2.12e11, 6e4, 1]] * 2)
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
+    assert len(plan.fwd) == 2  # two nx groups
+    ev = make_eval_logll(plan)
+    out = ev(_state(pi), jnp.asarray([1.0]))
+    # data generated with the same solver -> residual ~ 0 per measurement
+    per = np.asarray(out["per_meas"][0, :, 0])
+    assert per.shape == (2,)
+    assert np.all(per > -1e-6), per
+
+    # density mode with mixed nx is rejected (unloadable in the reference)
+    mcmc_d = dict(mcmc, ini_mode="density")
+    with pytest.raises(NotImplementedError):
+        build_likelihood_plan(sim_info, pi, mcmc_d, e_data,
+                              np.zeros((2, 32)))
