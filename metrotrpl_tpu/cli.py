@@ -129,6 +129,14 @@ def cmd_write_example(args):
                        "Tm": (0, np.inf)},
         "trial_move": {n: 0.003 for n in names},
     }
+    # data is synthesized at the TRUE parameters below; the walk starts
+    # from randomized guesses (reference MCMC_script_writer.py:120-122)
+    true_guess = dict(param_info["init_guess"])
+    rng = np.random.default_rng(42)
+    for n in names:
+        if param_info["active"][n]:
+            param_info["init_guess"][n] *= 10.0 ** rng.uniform(-0.3, 0.3)
+
     meas_fields = {"time_cutoff": [0, 2000], "select_obs_sets": None}
     MCMC_fields = {
         "init_cond_path": args.init_cond or os.path.join(
@@ -155,6 +163,88 @@ def cmd_write_example(args):
                                 MCMC_fields, verbose=True)
     print(f"Wrote {args.out}")
 
+    # Turnkey: synthesize the measurement data with the float64 LSODA
+    # oracle at the (pre-randomization) true parameters if it's missing
+    # (the reference's staub 'nonoise' dataset is synthetic and unshipped).
+    mpath = MCMC_fields["measurement_path"]
+    ipath = MCMC_fields["init_cond_path"]
+    if not os.path.exists(ipath):
+        os.makedirs(os.path.dirname(ipath) or ".", exist_ok=True)
+        flu = np.array([[2.12e11, 6e4, 1], [2.12e11, 6e4, 1],
+                        [6.36e11, 6e4, 1], [6.36e11, 6e4, 1],
+                        [1.91e12, 6e4, 1], [1.91e12, 6e4, 1]])
+        np.savetxt(ipath, flu, delimiter=",")
+        print(f"Wrote synthetic fluences: {ipath}")
+    if not os.path.exists(mpath):
+        from metrotrpl_tpu.oracle import solve_reference
+        from metrotrpl_tpu.oracle.scipy_reference import beer_lambert
+
+        flu = np.loadtxt(ipath, delimiter=",")
+        uc = param_info["unit_conversions"]
+        pm = {k: v * uc.get(k, 1) for k, v in true_guess.items()}
+        t = np.linspace(0, 2000, 501)
+        rows = []
+        for m in range(simPar["num_meas"]):
+            th = simPar["lengths"][m]
+            nx = simPar["nx"][m]
+            dx = th / nx
+            x = np.linspace(dx / 2, th - dx / 2, nx)
+            ic = beer_lambert(flu[m, 0] * 1e-14, flu[m, 1] * 1e-7, x)
+            pl = solve_reference(ic, th, nx, t, pm)
+            rows.append(np.stack([t, pl, 0.02 * pl], axis=1))
+        os.makedirs(os.path.dirname(mpath) or ".", exist_ok=True)
+        np.savetxt(mpath, np.concatenate(rows), delimiter=",")
+        print(f"Wrote synthetic measurement data: {mpath}")
+
+
+def cmd_write_pa_example(args):
+    """Generate the 'pa' toy-problem config (reference pa_toy_writer.py:
+    1D multi-well potential, tempering ladder [0.05, 0.3, 2])."""
+    from metrotrpl_tpu.config import generate_config_script_file
+
+    simPar = {"lengths": [1], "nx": [1], "meas_types": ["pa"],
+              "num_meas": 1}
+    param_info = {
+        "names": ["x0"],
+        "unit_conversions": {},
+        "do_log": {"x0": 0},
+        "active": {"x0": 1},
+        "init_guess": {"x0": 0.2},
+        "prior_dist": {"x0": (-2, 2)},
+        "trial_move": {"x0": 0.2},
+    }
+    meas_fields = {"time_cutoff": [0, np.inf], "select_obs_sets": None}
+    MCMC_fields = {
+        "init_cond_path": args.init_cond or "pa_ic.csv",
+        "measurement_path": args.measurement or "pa_data.csv",
+        "output_path": args.output or os.path.join("bay_outputs", "pa0"),
+        "ini_mode": "density",
+        "num_iters": args.num_iters,
+        "solver": ("solveivp",),
+        "model": "pa",
+        "model_uncertainty": 1,
+        "log_y": 1,
+        "hard_bounds": 1,
+        "parallel_tempering": [0.05, 0.3, 2.0],
+        "temper_freq": 10,
+        "checkpoint_freq": 1000,
+        "load_checkpoint": None,
+    }
+    generate_config_script_file(args.out, simPar, param_info, meas_fields,
+                                MCMC_fields, verbose=True)
+    # minimal companion data files so the config runs out of the box
+    base = os.path.dirname(args.out) or "."
+    ic = MCMC_fields["init_cond_path"]
+    mp = MCMC_fields["measurement_path"]
+    for path, content in ((os.path.join(base, os.path.basename(ic)),
+                           "0\n"),
+                          (os.path.join(base, os.path.basename(mp)),
+                           "0,1,1\n")):
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                f.write(content)
+    print(f"Wrote {args.out}")
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="metrotrpl_tpu",
@@ -174,13 +264,15 @@ def main(argv=None):
             sp.add_argument("--maxiter", type=int, default=None)
         sp.set_defaults(fn=fn)
 
-    sp = sub.add_parser("write-example")
-    sp.add_argument("out")
-    sp.add_argument("--num-iters", type=int, default=100)
-    sp.add_argument("--init-cond", default=None)
-    sp.add_argument("--measurement", default=None)
-    sp.add_argument("--output", default=None)
-    sp.set_defaults(fn=cmd_write_example)
+    for name, fn, iters in (("write-example", cmd_write_example, 100),
+                            ("write-pa-example", cmd_write_pa_example, 5000)):
+        sp = sub.add_parser(name)
+        sp.add_argument("out")
+        sp.add_argument("--num-iters", type=int, default=iters)
+        sp.add_argument("--init-cond", default=None)
+        sp.add_argument("--measurement", default=None)
+        sp.add_argument("--output", default=None)
+        sp.set_defaults(fn=fn)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -42,6 +42,7 @@ def get_data(exp_file, ic_flags, MCMC_fields, rng=None):
     bval_cutoff = sys.float_info.min
 
     data = load_csv(exp_file)  # native parser with np.loadtxt fallback
+    data = np.atleast_2d(data)  # single-row files load as 1D
     times, y, unc = data[:, 0], data[:, 1].copy(), data[:, 2].copy()
 
     if noise_level:

@@ -81,6 +81,9 @@ class LikelihoodPlan(NamedTuple):
     n_conv: np.ndarray          # (M,) actual convolved-point counts
     force_min_y: bool
     log_y: bool
+    # optional NN-surrogate forward model (reference forward_solver.py:205-222)
+    nn: object = None
+    thickness: np.ndarray = None   # (M,) [nm], NN feature
 
 
 def _fittable_index_map(spec, n_meas, param_idx, base):
@@ -115,10 +118,15 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
         [param_info["unit_conversions"].get(n, 1) for n in names], dtype=float)
 
     times, vals, uncs = e_data
+    solver_spec = MCMC_fields.get("solver", ("solveivp",))
     if any(m == "pa" for m in meas_types):
         if not all(m == "pa" for m in meas_types):
             raise NotImplementedError("Mixed pa + PDE measurements unsupported")
         kind = "pa"
+    elif solver_spec and solver_spec[0] == "NN":
+        if any(m != "TRPL" for m in meas_types):
+            raise NotImplementedError("NN surrogate supports TRPL only")
+        kind = "nn"
     else:
         kind = "pde"
 
@@ -234,6 +242,12 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
         pad = np.ones((n_meas, 3 - init_profiles.shape[1]))
         init_profiles = np.concatenate([init_profiles, pad], axis=1)
 
+    nn = None
+    if kind == "nn":
+        from metrotrpl_tpu.surrogate import NeuralNetwork
+        nn = NeuralNetwork()
+        nn.load_model(solver_spec[1], solver_spec[2])
+
     return LikelihoodPlan(
         kind=kind,
         fwd=fwd,
@@ -258,6 +272,8 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
         n_conv=n_conv,
         force_min_y=bool(MCMC_fields.get("force_min_y", 0)),
         log_y=bool(MCMC_fields["log_y"]),
+        nn=nn,
+        thickness=np.asarray(sim_info["lengths"], dtype=float),
     )
 
 
@@ -299,6 +315,9 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16):
             ll = -u[:, None] / temps[None, :]                 # (K, Kt)
             return {"logll_T": ll, "per_meas": ll[:, None, :]}
         return eval_pa
+
+    if plan.kind == "nn":
+        return _make_eval_nn(plan, dtype)
 
     groups = plan.fwd
     nt_exp = plan.exp_times.shape[1]
@@ -439,3 +458,58 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16):
         return {"logll_T": jnp.sum(per_meas, axis=1), "per_meas": per_meas}
 
     return eval_logll
+
+
+def _make_eval_nn(plan, dtype):
+    """Likelihood evaluation with the NN-surrogate forward model.
+
+    Features follow the reference's NN branch (forward_solver.py:213-219):
+    [p0, mu_n, mu_p, ks, Cn, Cp, Sf, Sb, tauN, tauP, 1/eps,
+     fluence, absp, thickness] in ENTRY units (the reference skips unit
+    conversion for the NN path). TRPL only; the comparison pipeline is the
+    simple masked residual (no IRF path for the surrogate).
+    """
+    from metrotrpl_tpu.surrogate import multiexp
+
+    M = plan.n_meas
+    nn = plan.nn
+    exp_times = jnp.asarray(plan.exp_times, dtype)
+    exp_vals = jnp.asarray(plan.exp_vals, dtype)
+    exp_uncs2 = 2.0 * jnp.asarray(plan.exp_uncs, dtype) ** 2
+    exp_mask = jnp.asarray(plan.exp_mask)
+    sigma2 = jnp.asarray(plan.sigma, dtype) ** 2
+    thick = jnp.asarray(plan.thickness, dtype)
+    init_profiles = jnp.asarray(plan.init_profiles, dtype)
+    scale_idx = jnp.asarray(plan.scale_idx)
+    pidx = plan.param_idx
+
+    feat_names = ("p0", "mu_n", "mu_p", "ks", "Cn", "Cp", "Sf", "Sb",
+                  "tauN", "tauP")
+
+    def eval_nn(states, temps):
+        K = states.shape[0]
+        cols = [jnp.repeat(states[:, pidx[n]], M) for n in feat_names]
+        cols.append(jnp.repeat(1.0 / states[:, pidx["eps"]], M))
+        cols.append(jnp.tile(init_profiles[:, 0], K))
+        cols.append(jnp.tile(init_profiles[:, 1], K))
+        cols.append(jnp.tile(thick, K))
+        feats = jnp.stack(cols, axis=1)                       # (K*M, 14)
+        coefs = nn.postprocess(nn.apply(nn.preprocess(feats)))
+        b_t = jnp.tile(exp_times, (K, 1))
+        sol = multiexp(b_t, coefs)                            # (K*M, nt)
+
+        s_fact = _gather_or_one(states, scale_idx)            # (K, M)
+        scale_shift = jnp.log10(s_fact).reshape(K * M)
+
+        valid = jnp.tile(exp_mask, (K, 1))
+        err2 = (jnp.log10(jnp.abs(sol)) + scale_shift[:, None]
+                - jnp.tile(exp_vals, (K, 1))) ** 2
+        err2 = jnp.where(valid, err2, 0.0)
+        denom = (jnp.tile(sigma2, K)[:, None, None] * temps[None, None, :]
+                 + jnp.tile(exp_uncs2, (K, 1))[:, :, None])
+        ll = -jnp.sum(err2[:, :, None] / denom, axis=1)
+        ll = jnp.where(jnp.isnan(ll), -jnp.inf, ll)
+        per_meas = ll.reshape(K, M, -1)
+        return {"logll_T": jnp.sum(per_meas, axis=1), "per_meas": per_meas}
+
+    return eval_nn

@@ -19,6 +19,7 @@ TPU re-architecture of the reference driver (reference metropolis.py:42-267):
 """
 
 import os
+import signal
 from time import perf_counter
 from typing import NamedTuple
 
@@ -145,6 +146,43 @@ def build_mh_kernel(like_plan, move_plan, temps, base_trial_move, temper_freq,
                     temps=np.asarray(temps), window=window)
 
 
+def vmap_ensembles(kernel):
+    """Vectorize a compiled MH kernel over a leading ensembles axis.
+
+    One tempered ensemble (K chains x M measurements) under-fills a chip at
+    small K*M; running E independent ensembles at once multiplies the
+    simulation batch to E*K*M with near-constant wall time until the VMEM
+    roofline. States/ll/keys gain a leading E axis; each ensemble gets its
+    own RNG key, so results equal E separate runs exactly.
+    """
+    return kernel._replace(
+        run_window=jax.jit(jax.vmap(kernel.run_window,
+                                    in_axes=(0, 0, None, 0))),
+        init_ll=jax.jit(jax.vmap(kernel.init_ll)),
+    )
+
+
+def kill_from_cl(signal_n, frame):
+    raise KeyboardInterrupt("Terminate from command line")
+
+
+def all_signal_handler(func):
+    """Trap termination signals to ``func`` so SLURM/driver kills become
+    clean KeyboardInterrupts (reference metropolis.py:270-280 traps EVERY
+    signal, including SIGCHLD — which fires whenever any child process
+    exits, e.g. the GUI quicksim worker, and would kill the walk; we trap
+    only genuine termination signals)."""
+    names = ("SIGINT", "SIGTERM", "SIGHUP", "SIGQUIT", "SIGUSR1", "SIGUSR2")
+    for name in names:
+        s = getattr(signal, name, None)
+        if s is None:
+            continue
+        try:
+            signal.signal(s, func)
+        except (ValueError, OSError):
+            continue
+
+
 def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
            export_path="", dtype=jnp.float64, shard_batch=None,
            starting_iter=0, need_initial_state=True, profile_dir=None,
@@ -250,6 +288,11 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
         log_dir=MCMC_fields["output_path"],
         name=kwargs.get("logger_name", "Ensemble0"), verbose=verbose)
 
+    # trap signals for clean termination with a final checkpoint
+    # (reference metropolis.py:288-289)
+    if kwargs.get("trap_signals", True):
+        all_signal_handler(kill_from_cl)
+
     load_ckpt = MCMC_fields.get("load_checkpoint", None)
     num_iters = MCMC_fields["num_iters"]
     starting_iter = 0
@@ -309,12 +352,23 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
     logger.info(f"Sim info: {sim_info}")
     seed = kwargs.get("seed", 235817049752375780)
     dtype = kwargs.get("dtype", jnp.float64)
-    run_mh(ensemble, like_plan, move_plan, logger, seed=seed,
-           export_path=export_path, dtype=dtype,
-           shard_batch=kwargs.get("shard_batch"),
-           starting_iter=starting_iter,
-           need_initial_state=need_initial_state,
-           profile_dir=kwargs.get("profile_dir"),
-           backend=kwargs.get("backend", "xla"))
+    try:
+        run_mh(ensemble, like_plan, move_plan, logger, seed=seed,
+               export_path=export_path, dtype=dtype,
+               shard_batch=kwargs.get("shard_batch"),
+               starting_iter=starting_iter,
+               need_initial_state=need_initial_state,
+               profile_dir=kwargs.get("profile_dir"),
+               backend=kwargs.get("backend", "xla"))
+    except KeyboardInterrupt:
+        # clean termination: keep completed iterations, checkpoint, exit
+        logger.warning(
+            f"Interrupted at iteration {ensemble.latest_iter}; truncating "
+            "history and writing final checkpoint")
+        ensemble.H.truncate(max(ensemble.latest_iter, 1))
+        ensemble.checkpoint(
+            os.path.join(ef["output_path"], export_path))
+        stop_logging(logger, handler, 1)
+        return ensemble
     stop_logging(logger, handler, 0)
     return ensemble

@@ -140,3 +140,32 @@ def test_depletion_clamps_tail():
     mine = solve_single(init_dN, params, thickness, nx, t_out)
     assert np.all(mine > 0)
     assert np.all(np.isfinite(mine))
+
+
+def test_pallas_backend_matches_xla_interpret():
+    """The fused Pallas kernel (interpret mode on CPU) equals the XLA path
+    bit-for-bit on a small batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from metrotrpl_tpu.physics.models import beer_lambert
+    from metrotrpl_tpu.solver.forward import make_forward_plan, solve_forward_batch
+
+    B, nx = 16, 32
+    lengths = [311.0, 2000.0] * 8
+    times = [np.linspace(0, 50, 9)] * B
+    plan = make_forward_plan(lengths, [nx] * B, ["TRPL"] * B, times)
+    x = jnp.asarray(plan.x_centers, jnp.float32)
+    init = beer_lambert(jnp.full((B, 1), 2.12e-3, jnp.float32),
+                        jnp.full((B, 1), 6e-3, jnp.float32), x)
+    params = staub_params()
+    raw = {k: jnp.full(B, v, jnp.float32) for k, v in params.items()}
+    args = (init, raw, jnp.asarray(plan.dx, jnp.float32),
+            jnp.asarray(plan.dt, jnp.float32), jnp.asarray(plan.out_idx),
+            jnp.asarray(plan.is_trpl))
+    sx = np.asarray(jax.jit(
+        lambda *a: solve_forward_batch(*a, backend="xla"))(*args))
+    sp = np.asarray(jax.jit(
+        lambda *a: solve_forward_batch(
+            *a, backend="pallas_interpret", block_b=16))(*args))
+    np.testing.assert_allclose(sp, sx, rtol=1e-6)

@@ -153,3 +153,59 @@ def test_surrogate_multiexp_and_roundtrip(tmp_path):
     y1 = np.asarray(nn.predict(t, x))
     y2 = np.asarray(nn2.predict(t, x))
     np.testing.assert_allclose(y1, y2, rtol=1e-6)
+
+
+def test_nn_surrogate_likelihood_path(tmp_path):
+    """solver=("NN", weights, scales) routes the likelihood through the
+    surrogate (reference forward_solver.py:205-222 branch)."""
+    from metrotrpl_tpu.inference.likelihood import (
+        build_likelihood_plan,
+        make_eval_logll,
+    )
+
+    rng = np.random.default_rng(1)
+    nn = NeuralNetwork()
+    nn.params = [(jnp.asarray(rng.standard_normal((14, 8)) * 0.3),
+                  jnp.asarray(rng.standard_normal(8) * 0.1)),
+                 (jnp.asarray(rng.standard_normal((8, 4)) * 0.3),
+                  jnp.asarray(rng.standard_normal(4) * 0.1))]
+    nn.model_scales = np.array([np.zeros(14), np.ones(14) * 20,
+                                np.zeros(4), np.ones(4)], dtype=object)
+    wpath = str(tmp_path / "w.npz")
+    spath = str(tmp_path / "s.npy")
+    nn.save_npz(wpath)
+    np.save(spath, nn.model_scales, allow_pickle=True)
+
+    t = np.linspace(0, 100, 21)
+    sim_info = {"lengths": [311.0], "nx": [24], "meas_types": ["TRPL"],
+                "num_meas": 1}
+    pi = {
+        "names": list(TRUE),
+        "unit_conversions": dict(UC),
+        "do_log": {n: 1 for n in TRUE},
+        "active": {n: 1 for n in TRUE},
+        "init_guess": dict(TRUE),
+        "prior_dist": {n: (1e-30, 1e30) for n in TRUE},
+        "trial_move": {n: 0.01 for n in TRUE},
+    }
+    mcmc = {"ini_mode": "fluence", "model": "std", "log_y": 1,
+            "model_uncertainty": 1, "solver": ("NN", wpath, spath)}
+    iniPar = np.array([[2.12e11, 6e4, 1]])
+    # make self-consistent data FROM the surrogate so residual -> 0
+    feats = np.array([[TRUE["p0"], TRUE["mu_n"], TRUE["mu_p"], TRUE["ks"],
+                       TRUE["Cn"], TRUE["Cp"], TRUE["Sf"], TRUE["Sb"],
+                       TRUE["tauN"], TRUE["tauP"], 1 / TRUE["eps"],
+                       2.12e11, 6e4, 311.0]])
+    curve = np.asarray(nn.predict(t, feats))
+    e_data = ([t], [np.log10(np.abs(curve))], [np.full(len(t), 0.05)])
+
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
+    assert plan.kind == "nn"
+    ev = make_eval_logll(plan)
+    st = jnp.asarray([[TRUE[n] for n in TRUE]], jnp.float64)
+    ll = float(ev(st, jnp.asarray([1.0]))["logll_T"][0, 0])
+    assert ll > -1e-8
+    # different params give a different (worse) likelihood
+    st2 = st.at[0, 1].mul(3.0)
+    ll2 = float(ev(st2, jnp.asarray([1.0]))["logll_T"][0, 0])
+    assert ll2 < ll
