@@ -26,6 +26,27 @@ class Popup:
         self.top.title(title)
 
 
+def save_ext_vars(values, path):
+    """Persist quicksim external variables to a keybind-style text file
+    (reference quicksim_entry_popup.py:264-313 save/load feature)."""
+    with open(path, "w") as f:
+        for name in EXT_VARS:
+            f.write(f"{name}: {values[name]}\n")
+
+
+def load_ext_vars(path):
+    values = dict(EXT_DEFAULTS)
+    with open(path) as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            k, v = line.split(":", 1)
+            k = k.strip()
+            if k in values:
+                values[k] = float(v.strip())
+    return values
+
+
 class QuicksimEntryPopup(Popup):
     """Collect external sim variables and launch the quicksim process
     against the mean posterior state of each selected chain."""
@@ -39,9 +60,26 @@ class QuicksimEntryPopup(Popup):
             v = tk.StringVar(value=str(EXT_DEFAULTS[name]))
             tk.Entry(self.top, textvariable=v).grid(row=i, column=1)
             self.vars[name] = v
+        row = len(EXT_VARS)
         tk.Button(self.top, text="Simulate",
-                  command=self.launch).grid(row=len(EXT_VARS), column=0,
-                                            columnspan=2)
+                  command=self.launch).grid(row=row, column=0)
+        tk.Button(self.top, text="Save...",
+                  command=self.save_settings).grid(row=row, column=1)
+        tk.Button(self.top, text="Load...",
+                  command=self.load_settings).grid(row=row + 1, column=1)
+
+    def save_settings(self):
+        from tkinter import filedialog
+        path = filedialog.asksaveasfilename(defaultextension=".txt")
+        if path:
+            save_ext_vars({k: v.get() for k, v in self.vars.items()}, path)
+
+    def load_settings(self):
+        from tkinter import filedialog
+        path = filedialog.askopenfilename()
+        if path:
+            for k, v in load_ext_vars(path).items():
+                self.vars[k].set(str(v))
 
     def build_tasks(self, burn=0):
         ext = {k: float(v.get()) for k, v in self.vars.items()}

@@ -193,3 +193,36 @@ def test_quicksim_manager_background_process():
     assert len(results) == 1
     idx, t, sol, msg = results[0]
     assert msg == "ok" and np.isfinite(sol).all()
+
+
+def test_quicksim_settings_roundtrip(tmp_path):
+    from metrotrpl_tpu.gui.popups import EXT_DEFAULTS, load_ext_vars, save_ext_vars
+
+    vals = dict(EXT_DEFAULTS, thickness=2000, nt=750)
+    path = str(tmp_path / "qs.txt")
+    save_ext_vars(vals, path)
+    back = load_ext_vars(path)
+    assert back["thickness"] == 2000
+    assert back["nt"] == 750
+    assert back["fluence"] == EXT_DEFAULTS["fluence"]
+
+
+def test_history_shapes_truncate_extend():
+    """Direct History contract (reference test_sim_utils_History.py)."""
+    from metrotrpl_tpu.io.ensemble import History
+
+    H = History(2, 10, ["a", "b", "c"])
+    assert H.states.shape == (2, 3, 10)
+    assert H.accept.shape == (2, 10)
+    assert H.loglikelihood.shape == (2, 10)
+    H.truncate(4)
+    assert H.states.shape == (2, 3, 4)
+    H.extend(12)
+    assert H.states.shape == (2, 3, 12)
+    assert H.loglikelihood.shape == (2, 12)
+    H.extend(12)  # no-op
+    assert H.states.shape == (2, 3, 12)
+    H.extend(6)  # shrink via extend -> truncate
+    assert H.accept.shape == (2, 6)
+    H.update(["a", "b", "c"])
+    assert H.mean_b.shape == (2, 6)
