@@ -351,7 +351,13 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
 
     logger.info(f"Sim info: {sim_info}")
     seed = kwargs.get("seed", 235817049752375780)
-    dtype = kwargs.get("dtype", jnp.float64)
+    dtype = kwargs.get("dtype")
+    if dtype is None:
+        # float32 on accelerators (float64 is emulated/truncated on TPU);
+        # float64 on CPU where the oracle-grade precision is free
+        dtype = (jnp.float64 if jax.default_backend() == "cpu"
+                 and jax.config.jax_enable_x64 else jnp.float32)
+    logger.info(f"Walk dtype: {np.dtype(dtype).name}")
     try:
         run_mh(ensemble, like_plan, move_plan, logger, seed=seed,
                export_path=export_path, dtype=dtype,
