@@ -332,6 +332,10 @@ def insert_param(param_info, MCMC_fields, mode="fluences"):
         if i in dependents:
             continue
         name = f"{base}{i}"
+        if name in param_info["names"]:
+            # already present (e.g. a config written from an already-read
+            # config carries the synthetic params) — don't double-insert
+            continue
         param_info["names"].append(name)
         param_info["do_log"][name] = 1
         param_info["prior_dist"][name] = (0, np.inf)
@@ -340,8 +344,19 @@ def insert_param(param_info, MCMC_fields, mode="fluences"):
         param_info["active"][name] = 1
 
 
+def _fmt(v):
+    """Format a value for the config format. numpy scalars stringify via
+    .item() (numpy 2.x tuple reprs would otherwise emit
+    ``(np.float64(1.5), inf)``, which the reader cannot parse back)."""
+    if isinstance(v, np.generic):
+        return str(v.item())
+    if isinstance(v, tuple):
+        return "(" + ", ".join(_fmt(x) for x in v) + ")"
+    return str(v)
+
+
 def _write_row(f, label, values, sep="\t"):
-    f.write(f"{label}: " + sep.join(str(v) for v in values) + "\n")
+    f.write(f"{label}: " + sep.join(_fmt(v) for v in values) + "\n")
 
 
 def _write_per_meastype(f, label, value):
@@ -353,17 +368,25 @@ def _write_per_meastype(f, label, value):
         )
 
 
+def _fmt_list(values):
+    """Format a sequence as ``[a, b, c]`` regardless of whether it is a list
+    or a numpy array. ``str(ndarray)`` space-separates (``[0 1 2]``), which
+    :func:`_parse_fittable` cannot re-read — this keeps write→read→write
+    idempotent (the reference shares that bug; we fix it)."""
+    return "[" + ", ".join(str(v) for v in np.asarray(values).tolist()) + "]"
+
+
 def _write_fittable(f, label, spec):
     if spec is None:
         f.write(f"{label}: {spec}\n")
         return
-    f.write(f"{label}: {spec[0]}\t{spec[1]}\t")
+    f.write(f"{label}: {spec[0]}\t{_fmt_list(spec[1])}\t")
     if spec[2] is None:
         f.write(f"{spec[2]}")
     else:
-        f.write("|".join(str(g) for g in spec[2]))
+        f.write("|".join(str(tuple(g)) for g in spec[2]))
     if len(spec) == 4:
-        f.write(f"\t{spec[3]}")
+        f.write(f"\t{_fmt_list(spec[3])}")
     f.write("\n")
 
 
@@ -392,6 +415,14 @@ def generate_config_script_file(
 
     ``verbose`` adds explanatory comment lines.
     """
+    # Synthetic _s*/_f*/_a* params are re-created by the reader from the
+    # fittable specs; writing them back would (a) fail validation and
+    # (b) duplicate on the next read. Filter them out so a read config can
+    # be re-written verbatim (write -> read -> write is a fixed point).
+    if any(n.startswith("_") for n in param_info["names"]):
+        param_info = dict(param_info)
+        param_info["names"] = [n for n in param_info["names"]
+                               if not n.startswith("_")]
     validate_grid(simPar)
     validate_param_info(param_info)
     validate_meas_flags(measurement_flags, simPar["num_meas"])

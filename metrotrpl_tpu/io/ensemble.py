@@ -54,13 +54,17 @@ class History:
             return
         extra = new_num_iters - cur
         self.accept = np.concatenate(
-            [self.accept, np.zeros((self.accept.shape[0], extra))], axis=1)
+            [self.accept,
+             np.zeros((self.accept.shape[0], extra), dtype=self.accept.dtype)],
+            axis=1)
         self.loglikelihood = np.concatenate(
             [self.loglikelihood,
-             np.zeros((self.loglikelihood.shape[0], extra))], axis=1)
+             np.zeros((self.loglikelihood.shape[0], extra),
+                      dtype=self.loglikelihood.dtype)], axis=1)
         self.states = np.concatenate(
             [self.states,
-             np.zeros(self.states.shape[:2] + (extra,))], axis=2)
+             np.zeros(self.states.shape[:2] + (extra,),
+                      dtype=self.states.dtype)], axis=2)
 
 
 class Ensemble:

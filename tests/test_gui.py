@@ -226,3 +226,16 @@ def test_history_shapes_truncate_extend():
     assert H.accept.shape == (2, 6)
     H.update(["a", "b", "c"])
     assert H.mean_b.shape == (2, 6)
+
+
+def test_history_extend_preserves_dtypes():
+    """extend must not silently promote accept (int) to float
+    (VERDICT r1 weak #7)."""
+    from metrotrpl_tpu.io.ensemble import History
+
+    H = History(2, 4, ["a"])
+    a0, l0, s0 = H.accept.dtype, H.loglikelihood.dtype, H.states.dtype
+    H.extend(9)
+    assert H.accept.dtype == a0
+    assert H.loglikelihood.dtype == l0
+    assert H.states.dtype == s0
