@@ -18,7 +18,8 @@ from metrotrpl_tpu.oracle.irf_reference import (
 )
 from metrotrpl_tpu.ops.convolve import convolve_moments, i_moment_closed, make_I_tables
 
-IRF_520 = "/root/reference/IRFs/irf_520nm.csv"
+IRF_520 = os.path.join(os.path.dirname(__file__), "..", "IRFs",
+                       "irf_520nm.csv")
 
 
 def test_closed_form_moments_match_simpson():

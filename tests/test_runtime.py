@@ -1,5 +1,6 @@
 """Native runtime tests: the C++ CSV parser vs np.loadtxt on real files."""
 
+import os
 import time
 
 import numpy as np
@@ -7,7 +8,8 @@ import pytest
 
 from metrotrpl_tpu.runtime import load_csv, native_available
 
-CD0 = "/root/reference/Inputs/CD0_final.csv"
+RENOISED = os.path.join(os.path.dirname(__file__), "..", "Inputs",
+                        "real_staub_aug_corr_renoised.csv")
 
 
 def test_native_build():
@@ -44,19 +46,19 @@ def test_load_csv_scientific_and_blank_lines(tmp_path):
 
 
 def test_real_measurement_file_parity_and_speed():
-    ref = np.loadtxt(CD0, delimiter=",")
-    out = load_csv(CD0)
+    ref = np.loadtxt(RENOISED, delimiter=",")
+    out = load_csv(RENOISED)
     np.testing.assert_allclose(out, ref, rtol=0, atol=0)
-    assert out.shape == (9655, 3)
+    assert out.shape == ref.shape and out.ndim == 2
     # parity requirement: within 5x of numpy's C tokenizer (numpy >= 2.0);
     # the native parser exists as a portable scaffold, not a speed claim
-    load_csv(CD0)
+    load_csv(RENOISED)
     t0 = time.perf_counter()
     for _ in range(5):
-        load_csv(CD0)
+        load_csv(RENOISED)
     native_t = (time.perf_counter() - t0) / 5
     t0 = time.perf_counter()
     for _ in range(5):
-        np.loadtxt(CD0, delimiter=",")
+        np.loadtxt(RENOISED, delimiter=",")
     loadtxt_t = (time.perf_counter() - t0) / 5
     assert native_t < 5 * loadtxt_t
