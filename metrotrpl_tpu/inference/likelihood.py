@@ -100,7 +100,8 @@ def _fittable_index_map(spec, n_meas, param_idx, base):
 
 def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
                           irf_tables=None, hmax=None, scheme="sdirk3",
-                          newton_iters=2, refine=1):
+                          newton_iters=2, refine=1, escalate=True,
+                          align_outputs=True, refactor_every=1):
     """Assemble the static likelihood plan from parsed config + data.
 
     sim_info : grid dict (lengths, nx, meas_types, num_meas)
@@ -186,14 +187,21 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
         for nx_val in sorted(set(nx_list)):
             idx = np.array([m for m in range(n_meas)
                             if nx_list[m] == nx_val])
-            fp = make_forward_plan(
-                [sim_info["lengths"][m] for m in idx],
-                [nx_val] * len(idx),
-                [meas_types[m] for m in idx],
-                [times[m] for m in idx],
-                hmax=hm, model=MCMC_fields["model"], scheme=scheme,
-                newton_iters=newton_iters, refine=refine)
-            fwd.append((idx, fp))
+            def _mk(r):
+                return make_forward_plan(
+                    [sim_info["lengths"][m] for m in idx],
+                    [nx_val] * len(idx),
+                    [meas_types[m] for m in idx],
+                    [times[m] for m in idx],
+                    hmax=hm, model=MCMC_fields["model"], scheme=scheme,
+                    newton_iters=newton_iters, refine=r,
+                    align_outputs=align_outputs,
+                    refactor_every=refactor_every)
+            # escalation plan: a refine*2 grid retried only when a row of
+            # the base solve goes non-finite (the reference's
+            # converge_simulation contract, trial_move_evaluation.py:168-210)
+            fwd.append((idx, _mk(refine), _mk(refine * 2) if escalate
+                        else None))
         fwd = tuple(fwd)
 
         irf_spec = MCMC_fields.get("irf_convolution", None)
@@ -351,7 +359,7 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16):
 
         # ---- one forward solve per nx-group; scatter into (K, M, nt) ----
         sol_full = jnp.zeros((K, M, nt_exp), dtype)
-        for g_idx, fp in groups:
+        for g_idx, fp, fp_hi in groups:
             Mg = len(g_idx)
 
             def tile_g(a):  # (Mg, ...) -> (K*Mg, ...)
@@ -376,15 +384,35 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16):
                 init_dN = tile_g(
                     init_profiles[g_idx] * 1e-21)  # [cm^-3]->[nm^-3]
 
-            sol_g = solve_forward_batch(
-                init_dN, raw,
-                tile_g(jnp.asarray(fp.dx, dtype)),
-                tile_g(jnp.asarray(fp.dt, dtype)),
-                tile_g(jnp.asarray(fp.out_idx)),
-                tile_g(jnp.asarray(fp.is_trpl)),
-                model=model, scheme=fp.scheme,
-                newton_iters=fp.newton_iters, backend=backend,
-                block_b=block_b)                      # (K*Mg, nt_g)
+            def run_solve(fp_x):
+                return solve_forward_batch(
+                    init_dN, raw,
+                    tile_g(jnp.asarray(fp_x.dx, dtype)),
+                    tile_g(jnp.asarray(fp_x.dt, dtype)),
+                    tile_g(jnp.asarray(fp_x.out_idx)),
+                    tile_g(jnp.asarray(fp_x.is_trpl)),
+                    model=model, scheme=fp_x.scheme,
+                    newton_iters=fp_x.newton_iters, backend=backend,
+                    block_b=block_b,
+                    out_w=(None if fp_x.out_w is None
+                           else tile_g(jnp.asarray(fp_x.out_w, dtype))),
+                    refactor_every=fp_x.refactor_every,
+                    n_ramp=fp_x.n_ramp)               # (K*Mg, nt_g)
+
+            sol_g = run_solve(fp)
+            if fp_hi is not None:
+                # solver-failure escalation (reference converge_simulation,
+                # trial_move_evaluation.py:168-210): rows whose base solve
+                # diverged (non-finite) are re-solved on a 2x-refined step
+                # grid before conceding -inf. lax.cond skips the refined
+                # solve entirely when every row is healthy.
+                bad = ~jnp.all(jnp.isfinite(sol_g), axis=-1)  # (K*Mg,)
+                sol_hi = jax.lax.cond(
+                    jnp.any(bad),
+                    lambda _: run_solve(fp_hi),
+                    lambda _: sol_g,
+                    None)
+                sol_g = jnp.where(bad[:, None], sol_hi, sol_g)
             sol_g = sol_g.reshape(K, Mg, -1)
             if sol_g.shape[-1] < nt_exp:
                 sol_g = jnp.pad(

