@@ -108,6 +108,76 @@ def export_histogram(path, samples, bins=96, logscale=True):
     return path
 
 
+def export_all(chains, meta, burn=0, out_parent=None, tstamp=None):
+    """Export every model parameter of every chain to per-chain CSVs in a
+    fresh ``export-<timestamp>`` directory (reference "all" export,
+    GUI/window.py:586-636): columns Index + log10(param), one file per
+    chain. Returns the directory path."""
+    import datetime
+
+    if not chains:
+        raise ValueError("no chains loaded")
+    if out_parent is None:
+        out_parent = os.path.dirname(chains[0].fname)
+    if tstamp is None:
+        tstamp = str(datetime.datetime.now()).replace(":", "-")
+    out_dir = os.path.join(out_parent, f"export-{tstamp}")
+    os.makedirs(out_dir, exist_ok=True)
+    if os.listdir(out_dir):
+        raise FileExistsError(f"dir {out_dir} must be empty")
+
+    names = meta["names"]
+    for c in chains:
+        cols = [np.arange(len(np.asarray(c.data[names[0]])[burn:])) + burn]
+        header = ["Index"]
+        for p in names:
+            # signed params (e.g. the pa toy coordinate) yield NaN columns,
+            # same as the reference's unconditional log10 export
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cols.append(np.log10(np.asarray(c.data[p])[burn:]))
+            header.append(p)
+        np.savetxt(os.path.join(out_dir, f"{c.label}.csv"),
+                   np.stack(cols).T, delimiter=",",
+                   header=",".join(header))
+    return out_dir
+
+
+def export_trace2d(path, xs, ys, burn=0, fmt="csv"):
+    """Export paired samples as (N, x, y) rows (reference 2D Trace export,
+    GUI/window.py:716-753)."""
+    xs = np.asarray(xs)[burn:]
+    ys = np.asarray(ys)[burn:]
+    data = np.vstack((np.arange(len(xs)) + burn, xs, ys)).T
+    if fmt == "npy":
+        np.save(path, data)
+        return path
+    if not path.endswith(".csv"):
+        path += ".csv"
+    np.savetxt(path, data, delimiter=",", header="N,x,y")
+    return path
+
+
+def export_histogram2d(path, xs, ys, bins=96, fmt="csv"):
+    """Export a 2D histogram as a (bins+1, bins+1) matrix whose first
+    row/column hold the bin centers (reference 2D Histogram export,
+    GUI/window.py:825-873)."""
+    xs, ys = np.asarray(xs, dtype=float), np.asarray(ys, dtype=float)
+    freq, bx, by = np.histogram2d(xs, ys, bins)
+    cx = 0.5 * (bx[1:] + bx[:-1])
+    cy = 0.5 * (by[1:] + by[:-1])
+    mat = np.zeros((len(cx) + 1, len(cy) + 1))
+    mat[0, 1:] = cy
+    mat[1:, 0] = cx
+    mat[1:, 1:] = freq
+    if fmt == "npy":
+        np.save(path, mat)
+        return path
+    if not path.endswith(".csv"):
+        path += ".csv"
+    np.savetxt(path, mat, delimiter=",")
+    return path
+
+
 def diffusion_report(chains, meta):
     """Chain-diffusion diagnostic per chain (log10 displacement metric)."""
     out = {}
@@ -190,8 +260,12 @@ class Window:
 
         tk.Button(side, text="Draw", command=self.draw).pack(fill=tk.X,
                                                              pady=4)
-        tk.Button(side, text="Export CSV...",
+        tk.Button(side, text="Export plotted...",
                   command=self._on_export).pack(fill=tk.X)
+        tk.Button(side, text="Export all (per-chain CSVs)",
+                  command=self._on_export_all).pack(fill=tk.X)
+        tk.Button(side, text="Toggle chains...",
+                  command=self._on_activate_chains).pack(fill=tk.X)
         tk.Button(side, text="Chain diffusion",
                   command=self._on_diffusion).pack(fill=tk.X)
         tk.Button(side, text="Quicksim...",
@@ -203,9 +277,19 @@ class Window:
         self.fig = Figure(figsize=(7, 6), dpi=100)
         self.ax = self.fig.add_subplot(111)
         self.canvas = FigureCanvasTkAgg(self.fig, master=self.root)
-        self.canvas.get_tk_widget().pack(side=tk.RIGHT, fill=tk.BOTH,
-                                         expand=True)
+        widget = self.canvas.get_tk_widget()
+        widget.pack(side=tk.RIGHT, fill=tk.BOTH, expand=True)
         NavigationToolbar2Tk(self.canvas, self.root, pack_toolbar=True)
+
+        # right-click copy/save menu on the chart (reference
+        # GUI/rclickmenu.py FigureClickmenu)
+        from metrotrpl_tpu.gui.rclickmenu import CLICK_EVENTS, FigureClickmenu
+        self.clickmenu = FigureClickmenu(self, self.root, self.canvas,
+                                         widget)
+        widget.bind(CLICK_EVENTS["click"]["right"], self.clickmenu.show)
+
+    def set_status(self, text):
+        self.status.set(text)
 
     # ---- actions --------------------------------------------------------
     def loadfile(self, fname):
@@ -288,13 +372,53 @@ class Window:
             self.loadfile(fname)
 
     def _on_export(self):
+        """Export whatever the current plot mode shows (reference
+        "this_variable" export, GUI/window.py:639-873)."""
         from tkinter import filedialog
         path = filedialog.asksaveasfilename(defaultextension=".csv")
-        if path:
-            burn = int(float(self.burn_var.get() or 0))
-            export_traces(path, self._selected_chains(), self.xparam.get(),
-                          burn=burn)
-            self.status.set(f"exported {path}")
+        if not path:
+            return
+        burn = int(float(self.burn_var.get() or 0))
+        bins = int(self.bins_var.get() or 96)
+        mode = self.mode_var.get()
+        chains = self._selected_chains()
+        if not chains:
+            self.status.set("no chains loaded")
+            return
+        xp, yp = self.xparam.get(), self.yparam.get()
+        if mode == "1D Trace Plot":
+            out = export_traces(path, chains, xp, burn=burn)
+        elif mode == "2D Trace Plot":
+            out = export_trace2d(path, self._samples(chains[0], xp, burn),
+                                 self._samples(chains[0], yp, burn),
+                                 burn=0)
+        elif mode == "1D Histogram":
+            samples = np.concatenate(
+                [self._samples(c, xp, burn) for c in chains])
+            out = export_histogram(path, samples, bins=bins,
+                                   logscale=bool(self.log_var.get()))
+        else:  # 2D Histogram
+            out = export_histogram2d(
+                path, self._samples(chains[0], xp, burn),
+                self._samples(chains[0], yp, burn), bins=bins)
+        self.status.set(f"exported {out}")
+
+    def _on_export_all(self):
+        if not self.chains:
+            self.status.set("no chains loaded")
+            return
+        burn = int(float(self.burn_var.get() or 0))
+        try:
+            out_dir = export_all(self._selected_chains(), self.meta,
+                                 burn=burn)
+        except (FileExistsError, ValueError) as e:
+            self.status.set(f"Error - {e}")
+            return
+        self.status.set(f"Export complete - {out_dir}")
+
+    def _on_activate_chains(self):
+        from metrotrpl_tpu.gui.popups import ActivateChainPopup
+        ActivateChainPopup(self)
 
     def _on_diffusion(self):
         if self.meta is None:
