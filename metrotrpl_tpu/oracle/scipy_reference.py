@@ -116,7 +116,7 @@ def beer_lambert(fluence, alpha, x_centers, direction=1):
 
 def solve_reference(init_dN, thickness, nx, t_out, params, meas="TRPL",
                     model="std", hmax=4.0, rtol=DEFAULT_RTOL,
-                    atol=DEFAULT_ATOL, min_y=None):
+                    atol=DEFAULT_ATOL, min_y=None, stats=None):
     """Solve one simulation with scipy LSODA and return the observable
     in measurement units ([cm^-2 s^-1] for TRPL).
 
@@ -151,6 +151,11 @@ def solve_reference(init_dN, thickness, nx, t_out, params, meas="TRPL",
 
     sol = solve_ivp(fun, [t_out[0], t_out[-1]], y0, method="LSODA",
                     dense_output=True, max_step=hmax, rtol=rtol, atol=atol)
+    if stats is not None:
+        # expose solver-effort counters (nfev drives the numba-adjusted
+        # benchmark denominator, BASELINE.md)
+        stats["nfev"] = stats.get("nfev", 0) + int(sol.nfev)
+        stats["njev"] = stats.get("njev", 0) + int(getattr(sol, "njev", 0))
     data = sol.sol(t_out).T
     data[t_out > sol.t[-1]] = 0.0
 

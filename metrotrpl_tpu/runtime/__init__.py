@@ -19,33 +19,41 @@ import threading
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "fastcsv.cpp")
+_RHS_SRC = os.path.join(os.path.dirname(__file__), "refrhs.cpp")
 _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
+_RHS_LIB = None
+_RHS_TRIED = False
 
 
-def _build_lib():
-    """Compile fastcsv.cpp to a cached .so; returns the path or None."""
+def _compile(src, stem):
+    """Compile a C++ source to a content-addressed cached .so; returns the
+    path or None."""
     try:
-        with open(_SRC, "rb") as f:
+        with open(src, "rb") as f:
             digest = hashlib.sha256(f.read()).hexdigest()[:16]
     except OSError:
         return None
     cache_dir = os.environ.get(
         "METROTRPL_NATIVE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "metrotrpl_tpu"))
-    so_path = os.path.join(cache_dir, f"fastcsv-{digest}.so")
+    so_path = os.path.join(cache_dir, f"{stem}-{digest}.so")
     if os.path.exists(so_path):
         return so_path
     os.makedirs(cache_dir, exist_ok=True)
     tmp = so_path + f".tmp{os.getpid()}"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, so_path)
         return so_path
     except (OSError, subprocess.SubprocessError):
         return None
+
+
+def _build_lib():
+    return _compile(_SRC, "fastcsv")
 
 
 def _get_lib():
@@ -75,6 +83,73 @@ def _get_lib():
 
 def native_available():
     return _get_lib() is not None
+
+
+_RHS_ARGT = ([ctypes.c_int] + [ctypes.c_double] * 14
+             + [np.ctypeslib.ndpointer(np.float64)] * 2)
+
+
+def _get_rhs_lib():
+    global _RHS_LIB, _RHS_TRIED
+    with _LOCK:
+        if _RHS_TRIED:
+            return _RHS_LIB
+        _RHS_TRIED = True
+        so_path = _compile(_RHS_SRC, "refrhs")
+        if so_path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so_path)
+            lib.dydt_std.restype = None
+            lib.dydt_std.argtypes = _RHS_ARGT
+            lib.bench_rhs.restype = ctypes.c_double
+            lib.bench_rhs.argtypes = (
+                [ctypes.c_int, ctypes.c_int] + [ctypes.c_double] * 14
+                + [np.ctypeslib.ndpointer(np.float64)] * 2)
+            _RHS_LIB = lib
+        except OSError:
+            _RHS_LIB = None
+        return _RHS_LIB
+
+
+def _rhs_param_list(L, params, dx):
+    """(reference argument order, forward_solver.py:332) from a model-unit
+    param dict."""
+    from metrotrpl_tpu.constants import eps0, q_C
+    lam = q_C / (params["eps"] * eps0)
+    return [float(dx), params["n0"], params["p0"], params["mu_n"],
+            params["mu_p"], params["ks"], params["Cn"], params["Cp"],
+            params["Sf"], params["Sb"], params["tauN"], params["tauP"],
+            lam, params["Tm"]]
+
+
+def dydt_std_native(y, L, dx, params):
+    """Compiled reference RHS on a flat [N, P, E] state (model units).
+    Returns dy or None if the native build is unavailable."""
+    lib = _get_rhs_lib()
+    if lib is None:
+        return None
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    dy = np.zeros_like(y)
+    lib.dydt_std(int(L), *_rhs_param_list(L, params, dx), y, dy)
+    return dy
+
+
+def bench_rhs_native(y, L, dx, params, reps=1000):
+    """Time the compiled RHS in-process (no per-call ctypes overhead).
+    Returns seconds per RHS call, or None if unavailable."""
+    import time
+
+    lib = _get_rhs_lib()
+    if lib is None:
+        return None
+    y = np.ascontiguousarray(y, dtype=np.float64).copy()
+    dy = np.zeros_like(y)
+    args = _rhs_param_list(L, params, dx)
+    lib.bench_rhs(int(L), 10, *args, y, dy)  # warm-up
+    t0 = time.perf_counter()
+    lib.bench_rhs(int(L), int(reps), *args, y, dy)
+    return (time.perf_counter() - t0) / reps
 
 
 def load_csv(path, delimiter=","):
