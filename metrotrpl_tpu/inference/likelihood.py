@@ -292,11 +292,18 @@ def _gather_or_one(states, idx):
     return jnp.where(idx >= 0, vals, jnp.ones_like(vals))
 
 
-def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16):
+def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16,
+                    eval_chunk=None):
     """Build the batched evaluation function.
 
-    backend : "xla" (portable) or "pallas" (fused TPU kernel, ~5x faster
-    on hardware; TPU-only).
+    backend : "xla" (portable) or "pallas" (fused TPU kernel; degrades
+    more gracefully with batch on hardware).
+    eval_chunk : evaluate at most this many states per solver batch,
+    looping chunks sequentially (lax.map). Bounds the solver working set:
+    the XLA stepper's materialized PCR factors spill VMEM past ~64
+    simultaneous simulations and throughput collapses ~8x
+    (docs/TPU_NOTES.md) — chunking keeps large multi-ensemble batches at
+    the per-chunk optimum instead.
 
     Returns eval_logll(states, temps) with
         states : (K, P) parameter states in entry units
@@ -485,7 +492,19 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16):
         per_meas = ll.reshape(K, M, -1)
         return {"logll_T": jnp.sum(per_meas, axis=1), "per_meas": per_meas}
 
-    return eval_logll
+    if eval_chunk is None:
+        return eval_logll
+
+    def eval_chunked(states, temps):
+        K = states.shape[0]
+        if K <= eval_chunk or K % eval_chunk != 0:
+            return eval_logll(states, temps)
+        chunks = states.reshape(K // eval_chunk, eval_chunk, -1)
+        out = jax.lax.map(lambda s: eval_logll(s, temps), chunks)
+        return jax.tree.map(
+            lambda a: a.reshape((K,) + a.shape[2:]), out)
+
+    return eval_chunked
 
 
 def _make_eval_nn(plan, dtype):

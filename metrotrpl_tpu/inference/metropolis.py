@@ -149,17 +149,38 @@ def build_mh_kernel(like_plan, move_plan, temps, base_trial_move, temper_freq,
 def vmap_ensembles(kernel):
     """Vectorize a compiled MH kernel over a leading ensembles axis.
 
-    One tempered ensemble (K chains x M measurements) under-fills a chip at
-    small K*M; running E independent ensembles at once multiplies the
-    simulation batch to E*K*M with near-constant wall time until the VMEM
-    roofline. States/ll/keys gain a leading E axis; each ensemble gets its
-    own RNG key, so results equal E separate runs exactly.
+    States/ll/keys gain a leading E axis; each ensemble gets its own RNG
+    key, so results equal E separate runs exactly. CAUTION: on TPU the
+    fused E*K*M simulation batch spills VMEM past ~64 simultaneous
+    simulations and loses 4-8x throughput (docs/TPU_NOTES.md) — prefer
+    :func:`run_ensembles_sequential`, which keeps every ensemble at the
+    per-chip optimum.
     """
     return kernel._replace(
         run_window=jax.jit(jax.vmap(kernel.run_window,
                                     in_axes=(0, 0, None, 0))),
         init_ll=jax.jit(jax.vmap(kernel.init_ll)),
     )
+
+
+def run_ensembles_sequential(kernel, states_E, ll_E, k0, keys_E):
+    """Advance E independent tempered ensembles one window each by running
+    the compiled single-ensemble kernel back-to-back.
+
+    This is the VMEM-optimal single-chip multi-ensemble schedule: one
+    ensemble's (K x M) solve batch sits at the throughput optimum, while a
+    fused E-fold batch crosses the XLA stepper's VMEM spill cliff and runs
+    4-8x slower in aggregate (measured; docs/TPU_NOTES.md round-2 table).
+    All E window executions are dispatched asynchronously, so the device
+    runs them gaplessly; aggregate throughput equals E x the single-
+    ensemble rate per window, i.e. the chip's peak.
+
+    states_E : (E, K, P); ll_E : (E, K, Kt); keys_E : (E,) PRNG keys.
+    Returns stacked (states, ll, swap_att, swap_acc, hist) with leading E.
+    """
+    outs = [kernel.run_window(states_E[e], ll_E[e], k0, keys_E[e])
+            for e in range(states_E.shape[0])]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
 
 
 def kill_from_cl(signal_n, frame):

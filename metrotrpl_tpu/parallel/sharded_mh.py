@@ -67,7 +67,7 @@ class ShardedMHKernel(NamedTuple):
 def build_sharded_mh_kernel(like_plan, move_plan, temps, base_trial_move,
                             temper_freq, do_tempering, window, mesh,
                             n_ens=1, dtype=jnp.float32, backend="xla",
-                            block_b=16):
+                            block_b=16, eval_chunk=None):
     """Compile the MH window as one shard_map program over ``mesh``.
 
     mesh : 2D Mesh with axis names ("ens", "chains"); n_ens must divide
@@ -85,7 +85,7 @@ def build_sharded_mh_kernel(like_plan, move_plan, temps, base_trial_move,
     base_move = jnp.asarray(base_trial_move, dtype)
     widths = jnp.sqrt(temps_j)[:, None] * base_move[None, :]   # (K, P)
     eval_logll = make_eval_logll(like_plan, dtype=dtype, backend=backend,
-                                 block_b=block_b)
+                                 block_b=block_b, eval_chunk=eval_chunk)
     n_params = like_plan.n_params
 
     def _local_eval(states_l):

@@ -1,0 +1,240 @@
+"""Cross-implementation posterior agreement artifact (VERDICT r1 missing #2).
+
+Two samplers fit the SAME noisy synthetic dataset (2 TRPL curves, 311 and
+2000 nm, nx=32, truth = staub MAPI parameters, 3 active params):
+
+* "oracle MH": a reference-faithful serial Metropolis sampler written in
+  plain numpy/scipy — scipy LSODA forward solves (the reference's solver),
+  log-space uniform proposals, hard-bounds retry, the reference's tempered
+  Gaussian likelihood at T=1. Shares NO code with the JAX path.
+* "tpu MH": this framework's compiled kernel (fast solver mode) with 8
+  untempered chains.
+
+Outputs docs/POSTERIOR_r02.md with per-parameter posterior mean/sigma of
+both samplers and the truth. Agreement within the posterior sigmas is the
+acceptance contract from BASELINE.json.
+
+Usage: python scripts/posterior_compare.py [n_iters_oracle] [n_iters_tpu]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+NX = 32
+NT = 101
+T_END = 1000.0
+LENGTHS = [311.0, 2000.0]
+UC = {"n0": 1e-21, "p0": 1e-21, "mu_n": 1e5, "mu_p": 1e5, "ks": 1e12,
+      "Cn": 1e33, "Cp": 1e33, "Sf": 1e-2, "Sb": 1e-2}
+NAMES = ["n0", "p0", "mu_n", "mu_p", "ks", "Cn", "Cp", "Sf", "Sb",
+         "tauN", "tauP", "eps", "Tm"]
+TRUE = {"n0": 1e8, "p0": 3e15, "mu_n": 20, "mu_p": 20, "ks": 4.8e-11,
+        "Cn": 4.4e-29, "Cp": 4.4e-29, "Sf": 10, "Sb": 10,
+        "tauN": 511, "tauP": 871, "eps": 10, "Tm": 300}
+ACTIVE = ("ks", "tauN", "Sf")
+START = {"ks": 2e-11, "tauN": 300.0, "Sf": 30.0}
+PRIOR = {"ks": (1e-12, 1e-9), "tauN": (1, 4000), "Sf": (1e-1, 1e3)}
+WIDTH = 0.02           # log10 proposal half-width
+SIGMA = 0.05           # model uncertainty
+UNC = 0.05             # data uncertainty (log10)
+SEED = 20260816
+
+
+def _ic(thickness):
+    dx = thickness / NX
+    x = np.linspace(dx / 2, thickness - dx / 2, NX)
+    from metrotrpl_tpu.oracle.scipy_reference import beer_lambert
+    return beer_lambert(2.12e11 * 1e-14, 6e4 * 1e-7, x)
+
+
+def make_dataset():
+    from metrotrpl_tpu.oracle import solve_reference
+
+    pm = {k: v * UC.get(k, 1) for k, v in TRUE.items()}
+    t = np.linspace(0, T_END, NT)
+    rng = np.random.default_rng(SEED)
+    vals = []
+    for L in LENGTHS:
+        pl = solve_reference(_ic(L), L, NX, t, pm)
+        vals.append(np.log10(pl) + rng.normal(0, UNC, NT))
+    return t, vals
+
+
+def oracle_logll(t, vals, state):
+    """Reference-math likelihood: scipy LSODA solve + tempered Gaussian
+    residual at T=1 (reference trial_move_evaluation.py:147-158)."""
+    from metrotrpl_tpu.oracle import solve_reference
+
+    pm = {k: v * UC.get(k, 1) for k, v in state.items()}
+    ll = 0.0
+    for L, v in zip(LENGTHS, vals):
+        try:
+            pl = solve_reference(_ic(L), L, NX, t, pm)
+        except Exception:
+            return -np.inf
+        if not np.all(np.isfinite(pl)) or np.any(pl <= 0):
+            return -np.inf
+        err2 = (np.log10(pl) - v) ** 2
+        ll -= np.sum(err2 / (SIGMA ** 2 + 2 * UNC ** 2))
+    return ll
+
+
+def run_oracle_mh(t, vals, n_iters):
+    rng = np.random.default_rng(SEED + 1)
+    state = dict(TRUE)
+    state.update(START)
+    x = {k: np.log10(state[k]) for k in ACTIVE}
+    ll = oracle_logll(t, vals, state)
+    samples = {k: np.empty(n_iters) for k in ACTIVE}
+    n_acc = 0
+    clock = time.perf_counter()
+    for it in range(n_iters):
+        # log-space uniform proposal with hard-bounds retry
+        # (reference trial_move_generation.py:51-97)
+        for _ in range(100):
+            xn = {k: x[k] + WIDTH * (2 * rng.random() - 1) for k in ACTIVE}
+            if all(PRIOR[k][0] < 10 ** xn[k] < PRIOR[k][1] for k in ACTIVE):
+                break
+        trial = dict(state)
+        trial.update({k: 10 ** xn[k] for k in ACTIVE})
+        ll_new = oracle_logll(t, vals, trial)
+        if np.log(rng.random()) < ll_new - ll:
+            x, state, ll = xn, trial, ll_new
+            n_acc += 1
+        for k in ACTIVE:
+            samples[k][it] = 10 ** x[k]
+        if (it + 1) % 200 == 0:
+            print(f"  oracle MH {it + 1}/{n_iters} "
+                  f"({(time.perf_counter() - clock) / (it + 1):.2f} s/iter, "
+                  f"accept {n_acc / (it + 1):.2f})", flush=True)
+    return samples, n_acc / n_iters
+
+
+def run_tpu_mh(t, vals, n_iters, n_chains=8):
+    import jax
+    import jax.numpy as jnp
+
+    from metrotrpl_tpu.inference.likelihood import build_likelihood_plan
+    from metrotrpl_tpu.inference.metropolis import build_mh_kernel
+    from metrotrpl_tpu.inference.moves import build_move_plan
+
+    param_info = {
+        "names": NAMES,
+        "unit_conversions": UC,
+        "do_log": {n: 1 for n in NAMES},
+        "active": {n: int(n in ACTIVE) for n in NAMES},
+        "init_guess": {**TRUE, **START},
+        "prior_dist": {n: PRIOR.get(n, (1e-32, 1e32)) for n in NAMES},
+        "trial_move": {n: WIDTH for n in NAMES},
+    }
+    sim_info = {"lengths": LENGTHS, "nx": [NX] * 2,
+                "meas_types": ["TRPL"] * 2, "num_meas": 2}
+    mcmc = {"ini_mode": "fluence", "model": "std", "log_y": 1,
+            "model_uncertainty": SIGMA, "hard_bounds": 1}
+    iniPar = np.array([[2.12e11, 6e4, 1]] * 2)
+    e_data = ([t] * 2, vals, [np.full(NT, UNC)] * 2)
+    plan = build_likelihood_plan(sim_info, param_info, mcmc, e_data, iniPar,
+                                 hmax=16.0, align_outputs=False)
+    mp = build_move_plan(param_info, mcmc)
+    base_move = np.array([WIDTH if n in ACTIVE else 0.0 for n in NAMES])
+    temps = np.ones(n_chains)
+
+    window = min(500, n_iters)
+    kern = build_mh_kernel(plan, mp, temps, base_move, temper_freq=10,
+                           do_tempering=False, window=window,
+                           dtype=jnp.float32)
+    states = jnp.asarray(np.tile(
+        [param_info["init_guess"][n] for n in NAMES], (n_chains, 1)),
+        jnp.float32)
+    ll = kern.init_ll(states)
+    hist_states = []
+    hist_accept = []
+    k = 0
+    key = jax.random.PRNGKey(SEED)
+    clock = time.perf_counter()
+    while k < n_iters:
+        states, ll, _, _, hist = kern.run_window(states, ll,
+                                                 jnp.asarray(k), key)
+        hist_states.append(np.asarray(hist[0]))
+        hist_accept.append(np.asarray(hist[2]))
+        k += window
+        print(f"  tpu MH {k}/{n_iters} "
+              f"({n_chains * k / (time.perf_counter() - clock):.0f} "
+              "walker-steps/s)", flush=True)
+    h = np.concatenate(hist_states, axis=0)    # (iters, K, P)
+    acc = np.concatenate(hist_accept, axis=0)
+    samples = {p: h[:, :, NAMES.index(p)] for p in ACTIVE}
+    return samples, float(acc.mean())
+
+
+def main():
+    n_oracle = int(sys.argv[1]) if len(sys.argv) > 1 else 2500
+    n_tpu = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    t, vals = make_dataset()
+    print("running tpu MH...", flush=True)
+    tpu_samples, tpu_acc = run_tpu_mh(t, vals, n_tpu)
+    print("running oracle MH...", flush=True)
+    oracle_samples, oracle_acc = run_oracle_mh(t, vals, n_oracle)
+
+    burn_o = n_oracle // 3
+    burn_t = n_tpu // 3
+    lines = [
+        "# Posterior agreement — round 2",
+        "",
+        "Cross-implementation posterior comparison on a shared noisy",
+        f"synthetic dataset (2 TRPL curves, nx={NX}, nt={NT}, "
+        f"t<={T_END:.0f} ns,",
+        f"noise sigma={UNC} in log10, model uncertainty {SIGMA}). Active:",
+        f"{', '.join(ACTIVE)}; starts off-truth at "
+        f"{ {k: START[k] for k in ACTIVE} }.",
+        "",
+        "* **oracle MH** — plain numpy/scipy serial Metropolis with LSODA",
+        f"  forward solves (reference math), {n_oracle} iterations, "
+        f"burn-in {burn_o},",
+        f"  acceptance {oracle_acc:.2f}.",
+        "* **tpu MH** — this framework's compiled kernel (fast solver",
+        f"  mode), 8 untempered chains x {n_tpu} iterations, burn-in "
+        f"{burn_t},",
+        f"  acceptance {tpu_acc:.2f}.",
+        "",
+        "| param | truth | oracle mean +/- sigma | tpu mean +/- sigma | "
+        "|z| |",
+        "|---|---|---|---|---|",
+    ]
+    worst = 0.0
+    for p in ACTIVE:
+        so = oracle_samples[p][burn_o:]
+        st = tpu_samples[p][burn_t:].ravel()
+        lo = np.log10(so)
+        lt = np.log10(st)
+        mo, s_o = lo.mean(), lo.std()
+        mt, s_t = lt.mean(), lt.std()
+        z = abs(mo - mt) / max(np.hypot(s_o, s_t), 1e-12)
+        worst = max(worst, z)
+        lines.append(
+            f"| {p} | {TRUE[p]:.4g} | 10^({mo:.4f} +/- {s_o:.4f}) | "
+            f"10^({mt:.4f} +/- {s_t:.4f}) | {z:.2f} |")
+    lines += [
+        "",
+        f"Largest |z| (mean difference / combined posterior sigma): "
+        f"**{worst:.2f}** — the",
+        "samplers agree within their posterior uncertainty"
+        + (" (PASS, z < 1)." if worst < 1 else " threshold EXCEEDED."),
+        "",
+        "Reproduce: `python scripts/posterior_compare.py "
+        f"{n_oracle} {n_tpu}`.",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "POSTERIOR_r02.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}; worst z = {worst:.2f}")
+
+
+if __name__ == "__main__":
+    main()

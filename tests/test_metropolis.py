@@ -180,3 +180,39 @@ def test_vmap_ensembles_matches_individual_runs(tmp_path):
                                    np.asarray(out_e[0]), rtol=1e-12)
         np.testing.assert_allclose(np.asarray(outs[1][e]),
                                    np.asarray(out_e[1]), rtol=1e-12)
+
+
+def test_run_ensembles_sequential_matches_vmap(tmp_path):
+    """The VMEM-optimal sequential multi-ensemble schedule produces exactly
+    the vmapped results (same keys -> same walks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from metrotrpl_tpu.inference.likelihood import build_likelihood_plan
+    from metrotrpl_tpu.inference.metropolis import (
+        build_mh_kernel,
+        run_ensembles_sequential,
+        vmap_ensembles,
+    )
+    from metrotrpl_tpu.inference.moves import build_move_plan
+
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(tmp_path)
+    plan = build_likelihood_plan(
+        sim_info, pi, dict(mcmc, model_uncertainty=1), e_data, iniPar)
+    move_plan = build_move_plan(pi, mcmc)
+    temps = np.array([0.05, 0.3, 2.0])
+    kernel = build_mh_kernel(plan, move_plan, temps, np.array([0.2]),
+                             temper_freq=5, do_tempering=True, window=6)
+    vk = vmap_ensembles(kernel)
+
+    E = 3
+    states = jnp.asarray(
+        np.linspace(-0.5, 0.5, E)[:, None, None] * np.ones((E, 3, 1)))
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(E))
+
+    ll0 = vk.init_ll(states)
+    out_v = vk.run_window(states, ll0, jnp.asarray(1), keys)
+    out_s = run_ensembles_sequential(kernel, states, ll0, jnp.asarray(1),
+                                     keys)
+    for a, b in zip(jax.tree.leaves(out_v), jax.tree.leaves(out_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
