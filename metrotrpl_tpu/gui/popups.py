@@ -20,10 +20,14 @@ class Popup:
     def __init__(self, parent, title):
         import tkinter as tk
 
+        from metrotrpl_tpu.gui.styles import LIGHT_GREY
+
         self.tk = tk
         self.parent = parent
         self.top = tk.Toplevel(parent.root)
         self.top.title(title)
+        # standard popup background (reference GUI/popup.py:15)
+        self.top.configure(background=LIGHT_GREY)
 
 
 def save_ext_vars(values, path):

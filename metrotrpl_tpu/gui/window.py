@@ -206,10 +206,13 @@ class Window:
         )
         from matplotlib.figure import Figure
 
+        from metrotrpl_tpu.gui.styles import PANEL_KWARGS
+
         self.tk = tk
         self.root = master or tk.Tk()
         self.root.title("metrotrpl_tpu — posterior viewer")
         self.root.geometry(f"{width}x{height}")
+        self.root.configure(**PANEL_KWARGS)
         self.chains = []
         self.meta = None
         self.sp = SecondaryParameters()

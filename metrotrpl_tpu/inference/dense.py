@@ -83,7 +83,10 @@ def bayes(N, P, init_params, sim_params, e_data, sim_flags, param_info,
         irf_tables=flags.get("_IRF_tables"),
         hmax=flags.get("hmax", 1.0))
     import jax
-    ev = jax.jit(make_eval_logll(plan, dtype=dtype))
+    # auto backend: dense chunks are far past the VMEM spill cliff, where
+    # the fused Pallas kernel holds ~3300 solves/s vs the op-graph's ~700
+    # (docs/TPU_NOTES.md probe_r2_auto table)
+    ev = jax.jit(make_eval_logll(plan, dtype=dtype, backend="auto"))
     temps = jnp.asarray([1.0], dtype)
 
     P = np.zeros(num_samples)

@@ -296,8 +296,10 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16,
                     eval_chunk=None):
     """Build the batched evaluation function.
 
-    backend : "xla" (portable) or "pallas" (fused TPU kernel; degrades
-    more gracefully with batch on hardware).
+    backend : "xla" (portable), "pallas" (fused TPU kernel; degrades
+    more gracefully with batch on hardware), or "auto" (xla below the
+    ~64-simulation VMEM spill cliff, pallas past it — per-batch choice
+    made in solve_forward_batch).
     eval_chunk : evaluate at most this many states per solver batch,
     looping chunks sequentially (lax.map). Bounds the solver working set:
     the XLA stepper's materialized PCR factors spill VMEM past ~64

@@ -214,7 +214,19 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
     Returns sol (B, nt) with the reference's tail clamp applied: after the
     first time the signal dips below min_y everything is held at min_y
     (reference forward_solver.py:190-201).
+
+    backend="auto" picks per batch size: the XLA op-graph wins below the
+    VMEM spill cliff (its materialized PCR factors fit), the fused Pallas
+    kernel degrades more gracefully past it (docs/TPU_NOTES.md perf table).
     """
+    if backend == "auto":
+        # the fused kernel only lowers on TPU; CPU always takes the op-graph
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        if on_tpu and init_dN.shape[0] > 64:
+            backend = "pallas"
+            block_b = max(block_b, 32)  # measured optimum past the cliff
+        else:
+            backend = "xla"
     # Pad the batch to a multiple of the float32 sublane count. This keeps
     # every (B, nx) plane tile-aligned AND works around an observed TPU
     # (axon/Mosaic) miscompile where sublane-padded batches (e.g. B=6)

@@ -170,6 +170,12 @@ def test_pallas_backend_matches_xla_interpret():
             *a, backend="pallas_interpret", block_b=16))(*args))
     np.testing.assert_allclose(sp, sx, rtol=1e-6)
 
+    # backend="auto" must resolve to the op-graph on CPU (the fused kernel
+    # only lowers on TPU) and reproduce the XLA result exactly
+    sa = np.asarray(jax.jit(
+        lambda *a: solve_forward_batch(*a, backend="auto"))(*args))
+    np.testing.assert_array_equal(sa, sx)
+
 
 def test_interp_outputs_match_aligned():
     """Decoupled solver knots + log-space output interpolation

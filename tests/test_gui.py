@@ -239,3 +239,20 @@ def test_history_extend_preserves_dtypes():
     assert H.accept.dtype == a0
     assert H.loglikelihood.dtype == l0
     assert H.states.dtype == s0
+
+
+def test_gui_styles_palette():
+    """Palette/style contract of the theming layer (reference
+    GUI/gui_colors.py + gui_styles.py values)."""
+    import re
+
+    from metrotrpl_tpu.gui import styles
+
+    for c in (styles.WHITE, styles.LIGHT_GREY, styles.GREY, styles.DARK_GREY,
+              styles.BLACK, styles.RED, styles.GREEN):
+        assert re.fullmatch(r"#[0-9a-f]{6}", c)
+    assert styles.LIGHT_GREY == "#bfbfbf"
+    assert styles.MENU_KWARGS["foreground"] == styles.WHITE
+    assert styles.LABEL_KWARGS == {"width": 14, "background": styles.LIGHT_GREY}
+    cycle = styles.plot_color_cycle()
+    assert len(cycle) >= 6 and all(c.startswith("#") for c in cycle)
