@@ -131,6 +131,8 @@ def make_trial_move(state, move_width, key, plan):
     x = jnp.where(do_log, jnp.log10(state), state)
     max_tries = plan.max_proposals if plan.hard_bounds else 1
 
+    moved = move_width > 0
+
     def draw(key):
         key, k1, k2 = jax.random.split(key, 3)
         u = jax.random.uniform(k1, x.shape, dtype=x.dtype)
@@ -162,4 +164,15 @@ def make_trial_move(state, move_width, key, plan):
         key, new, ok, _ = jax.lax.while_loop(
             cond, body, (key, new, ok, jnp.asarray(1)))
 
-    return jnp.where(do_log, 10.0 ** new, new)
+    out = jnp.where(do_log, 10.0 ** new, new)
+    if plan.mu_constraint is not None:
+        moved = moved | (jnp.arange(len(plan.do_log)) == plan.mu_p_idx)
+    # Zero-width (frozen) parameters keep their EXACT state value. Routing
+    # them through the 10^(log10(s)) roundtrip is not an identity: on TPU
+    # f32 the pow/log approximations have a value-dependent systematic bias
+    # of ~1e-5..3e-5 per application (no fixpoint within hundreds of
+    # iterations), so every accepted move would silently walk every frozen
+    # parameter away from its configured value — measured -1.7% on p0 after
+    # 2000 iterations, which in turn biased the ACTIVE-parameter posterior
+    # by +1.6 sigma on the staub ks (round-2 TPU posterior debugging).
+    return jnp.where(moved, out, state)
