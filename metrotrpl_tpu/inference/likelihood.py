@@ -293,7 +293,7 @@ def _gather_or_one(states, idx):
 
 
 def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16,
-                    eval_chunk=None):
+                    eval_chunk=None, escalate="inline"):
     """Build the batched evaluation function.
 
     backend : "xla" (portable), "pallas" (fused TPU kernel; degrades
@@ -306,6 +306,14 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16,
     simultaneous simulations and throughput collapses ~8x
     (docs/TPU_NOTES.md) — chunking keeps large multi-ensemble batches at
     the per-chunk optimum instead.
+    escalate : "inline" re-solves non-finite rows on the plan's 2x-refined
+    grid inside the eval (reference converge_simulation semantics). On
+    this TPU runtime the data-dependent ``lax.cond`` costs ~10 ms per call
+    even when never taken (~47%% of a healthy staub eval), so the MH driver
+    instead runs with "off" — no retry, failures counted — and re-runs any
+    window that reported failures through an "inline" kernel
+    (metropolis.run_mh deferred escalation; identical results, zero
+    hot-path cost when healthy).
 
     Returns eval_logll(states, temps) with
         states : (K, P) parameter states in entry units
@@ -313,6 +321,8 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16,
     -> dict with
         'logll_T'  : (K, Kt) total log-likelihood of each state at each T
         'per_meas' : (K, M, Kt) per-measurement contributions
+        'n_solver_fail' : () int32, rows whose forward solve diverged
+            (post-repair count under "inline")
     """
     M = plan.n_meas
     P = plan.n_params
@@ -330,7 +340,8 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16,
         def eval_pa(states, temps):
             u = u_potential(states[:, 0])                     # (K,)
             ll = -u[:, None] / temps[None, :]                 # (K, Kt)
-            return {"logll_T": ll, "per_meas": ll[:, None, :]}
+            return {"logll_T": ll, "per_meas": ll[:, None, :],
+                    "n_solver_fail": jnp.zeros((), jnp.int32)}
         return eval_pa
 
     if plan.kind == "nn":
@@ -368,6 +379,7 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16,
 
         # ---- one forward solve per nx-group; scatter into (K, M, nt) ----
         sol_full = jnp.zeros((K, M, nt_exp), dtype)
+        n_solver_fail = jnp.zeros((), jnp.int32)
         for g_idx, fp, fp_hi in groups:
             Mg = len(g_idx)
 
@@ -409,19 +421,22 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16,
                     n_ramp=fp_x.n_ramp)               # (K*Mg, nt_g)
 
             sol_g = run_solve(fp)
-            if fp_hi is not None:
+            bad = ~jnp.all(jnp.isfinite(sol_g), axis=-1)      # (K*Mg,)
+            if fp_hi is not None and escalate == "inline":
                 # solver-failure escalation (reference converge_simulation,
                 # trial_move_evaluation.py:168-210): rows whose base solve
                 # diverged (non-finite) are re-solved on a 2x-refined step
                 # grid before conceding -inf. lax.cond skips the refined
-                # solve entirely when every row is healthy.
-                bad = ~jnp.all(jnp.isfinite(sol_g), axis=-1)  # (K*Mg,)
+                # solve entirely when every row is healthy (but costs ~10 ms
+                # of control-flow overhead per call on TPU — see docstring).
                 sol_hi = jax.lax.cond(
                     jnp.any(bad),
                     lambda _: run_solve(fp_hi),
                     lambda _: sol_g,
                     None)
                 sol_g = jnp.where(bad[:, None], sol_hi, sol_g)
+                bad = ~jnp.all(jnp.isfinite(sol_g), axis=-1)  # post-repair
+            n_solver_fail = n_solver_fail + jnp.sum(bad, dtype=jnp.int32)
             sol_g = sol_g.reshape(K, Mg, -1)
             if sol_g.shape[-1] < nt_exp:
                 sol_g = jnp.pad(
@@ -492,7 +507,8 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16,
         ll = jnp.where(fail[:, None], -jnp.inf, ll)
 
         per_meas = ll.reshape(K, M, -1)
-        return {"logll_T": jnp.sum(per_meas, axis=1), "per_meas": per_meas}
+        return {"logll_T": jnp.sum(per_meas, axis=1), "per_meas": per_meas,
+                "n_solver_fail": n_solver_fail}
 
     if eval_chunk is None:
         return eval_logll
@@ -503,8 +519,9 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16,
             return eval_logll(states, temps)
         chunks = states.reshape(K // eval_chunk, eval_chunk, -1)
         out = jax.lax.map(lambda s: eval_logll(s, temps), chunks)
-        return jax.tree.map(
-            lambda a: a.reshape((K,) + a.shape[2:]), out)
+        return {"logll_T": out["logll_T"].reshape((K,) + out["logll_T"].shape[2:]),
+                "per_meas": out["per_meas"].reshape((K,) + out["per_meas"].shape[2:]),
+                "n_solver_fail": out["n_solver_fail"].sum(dtype=jnp.int32)}
 
     return eval_chunked
 
@@ -559,6 +576,7 @@ def _make_eval_nn(plan, dtype):
         ll = -jnp.sum(err2[:, :, None] / denom, axis=1)
         ll = jnp.where(jnp.isnan(ll), -jnp.inf, ll)
         per_meas = ll.reshape(K, M, -1)
-        return {"logll_T": jnp.sum(per_meas, axis=1), "per_meas": per_meas}
+        return {"logll_T": jnp.sum(per_meas, axis=1), "per_meas": per_meas,
+                "n_solver_fail": jnp.zeros((), jnp.int32)}
 
     return eval_nn

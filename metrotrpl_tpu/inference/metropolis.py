@@ -34,7 +34,8 @@ from metrotrpl_tpu.inference.moves import build_move_plan, make_trial_move
 
 class MHKernel(NamedTuple):
     """Compiled window runner + static run info."""
-    run_window: callable      # (states, ll_T, k0, key) -> (states, ll_T, hist)
+    run_window: callable      # (states, ll_T, k0, key) ->
+                              # (states, ll_T, swap_att, swap_acc, nfail, hist)
     init_ll: callable         # states -> ll_T
     n_chains: int
     temps: np.ndarray
@@ -43,7 +44,8 @@ class MHKernel(NamedTuple):
 
 def build_mh_kernel(like_plan, move_plan, temps, base_trial_move, temper_freq,
                     do_tempering, window, dtype=jnp.float64,
-                    shard_batch=None, backend="xla", block_b=16):
+                    shard_batch=None, backend="xla", block_b=16,
+                    escalate="off"):
     """Construct the compiled MH window function.
 
     temps : (K,) tempering temperatures (one chain per temperature).
@@ -52,19 +54,25 @@ def build_mh_kernel(like_plan, move_plan, temps, base_trial_move, temper_freq,
     shard_batch : optional callable applied to the batched states before
         evaluation (used by the parallel layer to insert sharding
         constraints).
+    escalate : "off" (default) counts solver failures without retrying —
+        run_mh re-runs any failing window through an "inline" kernel,
+        which retries non-finite solves on the refined grid in-eval
+        (deferred escalation; the inline lax.cond costs ~10 ms/call on
+        TPU even when never taken, so it stays out of the hot path).
     """
     K = len(temps)
     temps_j = jnp.asarray(temps, dtype)
     base_move = jnp.asarray(base_trial_move, dtype)
     widths = jnp.sqrt(temps_j)[:, None] * base_move[None, :]  # (K, P)
     eval_logll = make_eval_logll(like_plan, dtype=dtype, backend=backend,
-                                 block_b=block_b)
+                                 block_b=block_b, escalate=escalate)
     own = jnp.arange(K)
 
     def eval_states(states):
         if shard_batch is not None:
             states = shard_batch(states)
-        return eval_logll(states, temps_j)["logll_T"]  # (K, K)
+        r = eval_logll(states, temps_j)
+        return r["logll_T"], r["n_solver_fail"]       # (K, K), ()
 
     def propose(states, key):
         keys = jax.random.split(key, K)
@@ -100,12 +108,13 @@ def build_mh_kernel(like_plan, move_plan, temps, base_trial_move, temper_freq,
         return states, ll_T, swap_att, swap_acc
 
     def one_iter(carry, k):
-        states, ll_T, swap_att, swap_acc, base_key = carry
+        states, ll_T, swap_att, swap_acc, nfail, base_key = carry
         key_iter = jax.random.fold_in(base_key, k)
         k_prop, k_acc, k_swap = jax.random.split(key_iter, 3)
 
         new_states = propose(states, k_prop)
-        new_ll_T = eval_states(new_states)
+        new_ll_T, nf = eval_states(new_states)
+        nfail = nfail + nf
 
         logratio = (jnp.take_along_axis(new_ll_T, own[:, None], axis=1)
                     - jnp.take_along_axis(ll_T, own[:, None], axis=1))[:, 0]
@@ -125,22 +134,24 @@ def build_mh_kernel(like_plan, move_plan, temps, base_trial_move, temper_freq,
                 (states, ll_T, swap_att, swap_acc))
 
         ll_own = jnp.take_along_axis(ll_T, own[:, None], axis=1)[:, 0]
-        return ((states, ll_T, swap_att, swap_acc, base_key),
+        return ((states, ll_T, swap_att, swap_acc, nfail, base_key),
                 (states, ll_own, accept))
 
     @jax.jit
     def run_window(states, ll_T, k0, base_key):
         swap_att = jnp.zeros(K, dtype=jnp.int32)
         swap_acc = jnp.zeros(K, dtype=jnp.int32)
+        nfail = jnp.zeros((), dtype=jnp.int32)
         ks = k0 + jnp.arange(window)
         carry, hist = jax.lax.scan(
-            one_iter, (states, ll_T, swap_att, swap_acc, base_key), ks)
-        states, ll_T, swap_att, swap_acc, _ = carry
-        return states, ll_T, swap_att, swap_acc, hist
+            one_iter, (states, ll_T, swap_att, swap_acc, nfail, base_key),
+            ks)
+        states, ll_T, swap_att, swap_acc, nfail, _ = carry
+        return states, ll_T, swap_att, swap_acc, nfail, hist
 
     @jax.jit
     def init_ll(states):
-        return eval_states(states)
+        return eval_states(states)[0]
 
     return MHKernel(run_window=run_window, init_ll=init_ll, n_chains=K,
                     temps=np.asarray(temps), window=window)
@@ -207,11 +218,18 @@ def all_signal_handler(func):
 def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
            export_path="", dtype=jnp.float64, shard_batch=None,
            starting_iter=0, need_initial_state=True, profile_dir=None,
-           backend="xla"):
+           backend="xla", escalate=True):
     """Host driver: windows of compiled iterations with checkpointing
     (reference metro() loop structure, metropolis.py:373-463).
 
     ensemble : io.ensemble.Ensemble (mutated in place: H, latest_iter).
+    escalate : True (default) = deferred escalation — the hot loop runs
+        without the in-eval retry (whose lax.cond costs ~10 ms/call on TPU
+        even when idle), and any window reporting solver failures is
+        re-run through an "inline" kernel that retries non-finite solves
+        on the refined grid (reference converge_simulation semantics,
+        trial_move_evaluation.py:168-210). "inline" = always use the
+        retrying kernel; False = never retry (failures auto-reject).
     """
     ef = ensemble.ensemble_fields
     num_iters = ef["num_iters"]
@@ -230,11 +248,16 @@ def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
         logger.info("Simulating initial state:")
 
     window = min(checkpoint_freq, num_iters)
-    kernel = build_mh_kernel(
-        like_plan, move_plan, temps, ef["base_trial_move"],
-        ef.get("temper_freq", 10), ef["do_parallel_tempering"],
-        window=window, dtype=dtype, shard_batch=shard_batch,
-        backend=backend)
+
+    def _build(esc_mode):
+        return build_mh_kernel(
+            like_plan, move_plan, temps, ef["base_trial_move"],
+            ef.get("temper_freq", 10), ef["do_parallel_tempering"],
+            window=window, dtype=dtype, shard_batch=shard_batch,
+            backend=backend, escalate=esc_mode)
+
+    kernel = _build("inline" if escalate == "inline" else "off")
+    safe_kernel = kernel if escalate == "inline" else None
 
     ll_T = kernel.init_ll(states)
     if need_initial_state:
@@ -248,19 +271,39 @@ def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
         n_this = min(window, num_iters - k)
         logger.info(f"Simulating from {k} to {k + n_this}")
         t_win = perf_counter()
+        states_in, ll_in = states, ll_T
         if profile_dir and not profiled:
             # device trace of one compiled window (superset of the
             # reference's wall-clock accumulators, SURVEY.md section 5)
             with jax.profiler.trace(profile_dir):
-                states, ll_T, swap_att, swap_acc, hist = kernel.run_window(
+                out = kernel.run_window(
                     states, ll_T, jnp.asarray(k), base_key)
-                jax.block_until_ready(states)
+                jax.block_until_ready(out[0])
             profiled = True
             logger.info(f"Profiler trace written to {profile_dir}")
         else:
-            states, ll_T, swap_att, swap_acc, hist = kernel.run_window(
-                states, ll_T, jnp.asarray(k), base_key)
+            out = kernel.run_window(states, ll_T, jnp.asarray(k), base_key)
+        states, ll_T, swap_att, swap_acc, nfail, hist = out
         jax.block_until_ready(states)
+        if int(nfail) and escalate is True:
+            # deferred escalation: the window saw diverged solves (rejected
+            # as -inf). Re-run it from the SAME entry state/keys through
+            # the inline-retry kernel — a pure function of (state, ll, k,
+            # key), so the re-run exactly reproduces the window with the
+            # retries applied.
+            logger.warning(
+                f"Window {k}-{k + n_this}: {int(nfail)} diverged solves; "
+                "re-running window with inline solver escalation")
+            if safe_kernel is None:
+                safe_kernel = _build("inline")
+            states, ll_T, swap_att, swap_acc, nfail, hist = (
+                safe_kernel.run_window(states_in, ll_in, jnp.asarray(k),
+                                       base_key))
+            jax.block_until_ready(states)
+            if int(nfail):
+                logger.warning(
+                    f"{int(nfail)} solves still diverged on the refined "
+                    "grid (rejected as -inf)")
         logger.info(
             f"Window of {n_this} iters took {perf_counter() - t_win:.3f} s "
             f"({n_this * K / max(perf_counter() - t_win, 1e-9):.1f} "
@@ -372,12 +415,15 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
         refine = refine_for_tols(
             MCMC_fields.get("rtol"), MCMC_fields.get("atol"),
             n_steps=n_steps_est, logger=logger)
+    escalate = kwargs.get("escalate", True)
     like_plan = build_likelihood_plan(
         sim_info, param_info, mcmc_for_plan, e_data, iniPar,
         irf_tables=irf_tables,
         scheme=kwargs.get("scheme", "sdirk3"),
         newton_iters=kwargs.get("newton_iters", 2),
-        refine=refine, escalate=kwargs.get("escalate", True))
+        # the refined-grid plan is needed whenever any escalation mode is
+        # on (the deferred re-run kernel uses it)
+        refine=refine, escalate=bool(escalate))
     move_plan = build_move_plan(param_info, MCMC_fields)
 
     logger.info(f"Sim info: {sim_info}")
@@ -396,7 +442,8 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
                starting_iter=starting_iter,
                need_initial_state=need_initial_state,
                profile_dir=kwargs.get("profile_dir"),
-               backend=kwargs.get("backend", "xla"))
+               backend=kwargs.get("backend", "xla"),
+               escalate=escalate)
     except KeyboardInterrupt:
         # clean termination: keep completed iterations, checkpoint, exit
         logger.warning(

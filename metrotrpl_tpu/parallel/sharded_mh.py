@@ -67,7 +67,7 @@ class ShardedMHKernel(NamedTuple):
 def build_sharded_mh_kernel(like_plan, move_plan, temps, base_trial_move,
                             temper_freq, do_tempering, window, mesh,
                             n_ens=1, dtype=jnp.float32, backend="xla",
-                            block_b=16, eval_chunk=None):
+                            block_b=16, eval_chunk=None, escalate="off"):
     """Compile the MH window as one shard_map program over ``mesh``.
 
     mesh : 2D Mesh with axis names ("ens", "chains"); n_ens must divide
@@ -85,15 +85,19 @@ def build_sharded_mh_kernel(like_plan, move_plan, temps, base_trial_move,
     base_move = jnp.asarray(base_trial_move, dtype)
     widths = jnp.sqrt(temps_j)[:, None] * base_move[None, :]   # (K, P)
     eval_logll = make_eval_logll(like_plan, dtype=dtype, backend=backend,
-                                 block_b=block_b, eval_chunk=eval_chunk)
+                                 block_b=block_b, eval_chunk=eval_chunk,
+                                 escalate=escalate)
     n_params = like_plan.n_params
 
-    def _local_eval(states_l):
-        """(E_l, K_l, P) -> (E_l, K_l, K): the heavy batched solve, fully
-        device-local."""
+    def _local_eval_nf(states_l):
+        """(E_l, K_l, P) -> ((E_l, K_l, K), ()): the heavy batched solve,
+        fully device-local, plus the diverged-solve count."""
         flat = states_l.reshape(E_l * K_l, n_params)
-        ll = eval_logll(flat, temps_j)["logll_T"]
-        return ll.reshape(E_l, K_l, K)
+        r = eval_logll(flat, temps_j)
+        return r["logll_T"].reshape(E_l, K_l, K), r["n_solver_fail"]
+
+    def _local_eval(states_l):
+        return _local_eval_nf(states_l)[0]
 
     def _propose(states_l, key_iter, c0, e0):
         def per_row(e, c, s):
@@ -156,12 +160,13 @@ def build_sharded_mh_kernel(like_plan, move_plan, temps, base_trial_move,
         own_cols = c0 + jnp.arange(K_l)          # global temp index per row
 
         def one_iter(carry, k):
-            states_l, ll_l, swap_att, swap_acc = carry
+            states_l, ll_l, swap_att, swap_acc, nfail = carry
             key_iter = jax.random.fold_in(base_key, k)
             k_prop, k_acc, k_swap = jax.random.split(key_iter, 3)
 
             new_states = _propose(states_l, k_prop, c0, e0)
-            new_ll = _local_eval(new_states)
+            new_ll, nf = _local_eval_nf(new_states)
+            nfail = nfail + nf
 
             ll_own_new = jnp.take_along_axis(
                 new_ll, own_cols[None, :, None], axis=2)[..., 0]
@@ -189,16 +194,18 @@ def build_sharded_mh_kernel(like_plan, move_plan, temps, base_trial_move,
 
             ll_own = jnp.take_along_axis(
                 ll_l, own_cols[None, :, None], axis=2)[..., 0]
-            return ((states_l, ll_l, swap_att, swap_acc),
+            return ((states_l, ll_l, swap_att, swap_acc, nfail),
                     (states_l, ll_own, accept))
 
         swap_att = jnp.zeros((E_l, K_l), jnp.int32)
         swap_acc = jnp.zeros((E_l, K_l), jnp.int32)
+        nfail0 = jnp.zeros((), jnp.int32)
         ks = k0 + jnp.arange(window)
         carry, hist = jax.lax.scan(
-            one_iter, (states_l, ll_l, swap_att, swap_acc), ks)
-        states_l, ll_l, swap_att, swap_acc = carry
-        return states_l, ll_l, swap_att, swap_acc, hist
+            one_iter, (states_l, ll_l, swap_att, swap_acc, nfail0), ks)
+        states_l, ll_l, swap_att, swap_acc, nfail = carry
+        nfail = jax.lax.psum(nfail, (ens_ax, ch_ax))
+        return states_l, ll_l, swap_att, swap_acc, nfail, hist
 
     sspec = P(ens_ax, ch_ax, None)
     lspec = P(ens_ax, ch_ax, None)
@@ -209,7 +216,7 @@ def build_sharded_mh_kernel(like_plan, move_plan, temps, base_trial_move,
         _window_local, mesh=mesh,
         in_specs=(sspec, lspec, P(), P()),
         out_specs=(sspec, lspec, P(ens_ax, ch_ax), P(ens_ax, ch_ax),
-                   hist_spec),
+                   P(), hist_spec),
     ))
 
     init_ll = jax.jit(shard_map(

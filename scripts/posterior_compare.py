@@ -158,7 +158,7 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8):
     key = jax.random.PRNGKey(SEED)
     clock = time.perf_counter()
     while k < n_iters:
-        states, ll, _, _, hist = kern.run_window(states, ll,
+        states, ll, _, _, _, hist = kern.run_window(states, ll,
                                                  jnp.asarray(k), key)
         hist_states.append(np.asarray(hist[0]))
         hist_accept.append(np.asarray(hist[2]))

@@ -62,7 +62,7 @@ def main():
                 reps, k = 2, 1 + window
                 t0 = time.perf_counter()
                 for _ in range(reps):
-                    st_r, ll_r, _, _, _ = kern.run_window(
+                    st_r, ll_r, _, _, _, _ = kern.run_window(
                         st_r, ll_r, jnp.asarray(k), keys)
                     k += window
                 jax.block_until_ready(st_r)

@@ -112,7 +112,7 @@ def main():
         reps = 2
         k = 101
         for _ in range(reps):
-            st, llt, _, _, _ = kern.run_window(st, llt, jnp.asarray(k),
+            st, llt, _, _, _, _ = kern.run_window(st, llt, jnp.asarray(k),
                                                jax.random.PRNGKey(0))
             k += 100
         jax.block_until_ready(st)

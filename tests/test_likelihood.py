@@ -339,3 +339,55 @@ def test_heterogeneous_nx_groups():
     with pytest.raises(NotImplementedError):
         build_likelihood_plan(sim_info, pi, mcmc_d, e_data,
                               np.zeros((2, 32)))
+
+
+def test_deferred_escalation_counts_and_rerun_matches_inline():
+    """escalate="off" must COUNT diverged solves (n_solver_fail) instead of
+    retrying; re-running the same MH window through an escalate="inline"
+    kernel from the same inputs then reproduces the retried results — the
+    deferred-escalation contract used by run_mh (the inline lax.cond costs
+    ~10 ms/call on TPU even when never taken, docs/TPU_NOTES.md)."""
+    import jax
+
+    from metrotrpl_tpu.inference.metropolis import build_mh_kernel
+    from metrotrpl_tpu.inference.moves import build_move_plan
+
+    sim_info, mcmc, e_data, iniPar = _synth()
+    pi = _param_info()
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
+    g_idx, fp, fp_hi = plan.fwd[0]
+    bad_dt = np.array(fp.dt, copy=True)
+    bad_dt[:, 5] = np.nan
+    plan_bad = plan._replace(fwd=((g_idx, fp._replace(dt=bad_dt), fp_hi),))
+
+    # eval level: "off" counts the diverged row, "inline" repairs it
+    ev_off = jax.jit(make_eval_logll(plan_bad, escalate="off"))
+    out = ev_off(_state(pi), jnp.asarray([1.0]))
+    assert int(out["n_solver_fail"]) == 1
+    assert float(out["logll_T"][0, 0]) == -np.inf
+    ev_in = jax.jit(make_eval_logll(plan_bad, escalate="inline"))
+    out_in = ev_in(_state(pi), jnp.asarray([1.0]))
+    assert int(out_in["n_solver_fail"]) == 0
+    assert np.isfinite(float(out_in["logll_T"][0, 0]))
+
+    # window level: same inputs through off/inline kernels — off reports
+    # failures, inline's re-run is the corrected window
+    mcmc2 = dict(mcmc, hard_bounds=1)
+    pi2 = _param_info()
+    mp = build_move_plan(pi2, mcmc2)
+    base_move = np.array(
+        [0.05 if pi2["active"][n] else 0.0 for n in pi2["names"]])
+    kw = dict(temps=np.ones(2), base_trial_move=base_move, temper_freq=5,
+              do_tempering=False, window=3)
+    k_off = build_mh_kernel(plan_bad, mp, escalate="off", **kw)
+    k_in = build_mh_kernel(plan_bad, mp, escalate="inline", **kw)
+    states = jnp.concatenate([_state(pi2), _state(pi2, tauN=480.0)])
+    ll0 = k_in.init_ll(states)   # finite entry ll (repaired)
+    key = jax.random.PRNGKey(11)
+    out_off = k_off.run_window(states, ll0, jnp.asarray(1), key)
+    out_in = k_in.run_window(states, ll0, jnp.asarray(1), key)
+    assert int(out_off[4]) > 0          # every proposal's solve diverged
+    assert int(out_in[4]) == 0
+    # off: all proposals -inf -> nothing accepted; inline: walk proceeds
+    assert np.asarray(out_off[5][2]).sum() == 0
+    assert np.isfinite(np.asarray(out_in[1])).all()

@@ -106,7 +106,7 @@ def test_sharded_mh_partitioning_is_structural():
     assert len({s.device for s in ll.addressable_shards}) == 8
     assert np.isfinite(np.asarray(out[1])).all()
     # history: (window, E, K, ...) gathered on host
-    h_states, h_ll, h_accept = (np.asarray(h) for h in out[4])
+    h_states, h_ll, h_accept = (np.asarray(h) for h in out[5])
     assert h_states.shape == (2, 2, 4, 13)
     assert h_ll.shape == (2, 2, 4)
 
