@@ -126,6 +126,155 @@ def inv_small(A):
     raise NotImplementedError(f"inv_small: unsupported block size {C}")
 
 
+# ---------------------------------------------------------------------------
+# Plane (tuple) representation — the hot-path layout.
+#
+# Both XLA:TPU and Mosaic tile the LAST TWO dims of every array to (8, 128)
+# for float32, so a stacked (B, C, n) value with C=3 pads 3 -> 8 sublanes:
+# 2.67x wasted VPU work and VMEM on every op (measured 2.1x end-to-end on an
+# elementwise mix, scripts/probe_r2_layout.py). The plane representation
+# keeps each component as its own (..., n) array — a block vector is a tuple
+# of C planes, a block matrix a C x C nested tuple — so every op runs on
+# perfectly tiled (batch, n) planes and slicing/stacking relayouts vanish.
+# The stacked (..., C, n) API below is retained for tests and fallbacks.
+# ---------------------------------------------------------------------------
+
+
+def p_mm(A, B):
+    """Plane block matmul: C x C nested tuples of (..., n) planes."""
+    C = len(A)
+    out = []
+    for i in range(C):
+        row = []
+        for k in range(C):
+            acc = A[i][0] * B[0][k]
+            for j in range(1, C):
+                acc = acc + A[i][j] * B[j][k]
+            row.append(acc)
+        out.append(tuple(row))
+    return tuple(out)
+
+
+def p_mv(A, x):
+    """Plane block matvec: nested-tuple matrix times tuple vector."""
+    C = len(A)
+    out = []
+    for i in range(C):
+        acc = A[i][0] * x[0]
+        for j in range(1, C):
+            acc = acc + A[i][j] * x[j]
+        out.append(acc)
+    return tuple(out)
+
+
+def p_shift_m(A, s):
+    return tuple(tuple(_shift(a, s) for a in row) for row in A)
+
+
+def p_shift_v(x, s):
+    return tuple(_shift(xi, s) for xi in x)
+
+
+def p_neg(A):
+    return tuple(tuple(-a for a in row) for row in A)
+
+
+def p_inv_small(A):
+    """Plane inverse of small blocks, C in {1, 2, 3, 4} (see inv_small)."""
+    C = len(A)
+    if C == 1:
+        return ((1.0 / A[0][0],),)
+    if C == 2:
+        a, b = A[0]
+        c, d = A[1]
+        idet = 1.0 / (a * d - b * c)
+        return ((d * idet, -b * idet), (-c * idet, a * idet))
+    if C == 3:
+        c00 = A[1][1] * A[2][2] - A[1][2] * A[2][1]
+        c01 = A[1][2] * A[2][0] - A[1][0] * A[2][2]
+        c02 = A[1][0] * A[2][1] - A[1][1] * A[2][0]
+        c10 = A[0][2] * A[2][1] - A[0][1] * A[2][2]
+        c11 = A[0][0] * A[2][2] - A[0][2] * A[2][0]
+        c12 = A[0][1] * A[2][0] - A[0][0] * A[2][1]
+        c20 = A[0][1] * A[1][2] - A[0][2] * A[1][1]
+        c21 = A[0][2] * A[1][0] - A[0][0] * A[1][2]
+        c22 = A[0][0] * A[1][1] - A[0][1] * A[1][0]
+        idet = 1.0 / (A[0][0] * c00 + A[0][1] * c01 + A[0][2] * c02)
+        return ((c00 * idet, c10 * idet, c20 * idet),
+                (c01 * idet, c11 * idet, c21 * idet),
+                (c02 * idet, c12 * idet, c22 * idet))
+    if C == 4:
+        # Schur complement on the 2x2 block partition.
+        sub = lambda r0, c0: tuple(tuple(A[r0 + i][c0 + j]
+                                         for j in range(2)) for i in range(2))
+        P, Q, R, S = sub(0, 0), sub(0, 2), sub(2, 0), sub(2, 2)
+        Pinv = p_inv_small(P)
+        RPinv = p_mm(R, Pinv)
+        schur = tuple(tuple(S[i][j] - x for j, x in enumerate(row))
+                      for i, row in enumerate(p_mm(RPinv, Q)))
+        Sinv = p_inv_small(schur)
+        PinvQ = p_mm(Pinv, Q)
+        corr = p_mm(p_mm(PinvQ, Sinv), RPinv)
+        top_left = tuple(tuple(Pinv[i][j] + corr[i][j] for j in range(2))
+                         for i in range(2))
+        top_right = p_neg(p_mm(PinvQ, Sinv))
+        bot_left = p_neg(p_mm(Sinv, RPinv))
+        return tuple(
+            [top_left[i] + top_right[i] for i in range(2)]
+            + [bot_left[i] + Sinv[i] for i in range(2)])
+    raise NotImplementedError(f"p_inv_small: unsupported block size {C}")
+
+
+def p_block_tridiag_jacobian(f, y):
+    """Plane-representation counterpart of :func:`block_tridiag_jacobian`.
+
+    f : tuple of C planes (..., n) -> tuple of C planes.
+    Returns (L, D, U) as C x C nested tuples of (..., n) planes.
+    """
+    C = len(y)
+    n = y[0].shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+    color_mask = [(idx % 3 == c).astype(y[0].dtype) for c in range(3)]
+
+    Lc = [[None] * C for _ in range(C)]
+    Dc = [[None] * C for _ in range(C)]
+    Uc = [[None] * C for _ in range(C)]
+    zero_plane = jnp.zeros(y[0].shape, dtype=y[0].dtype)
+    for c in range(3):
+        dsel = (c - idx) % 3
+        is_d = dsel == 0
+        is_u = dsel == 1
+        is_l = dsel == 2
+        for b in range(C):
+            seed = tuple(
+                jnp.broadcast_to(color_mask[c], y[bb].shape) if bb == b
+                else jnp.zeros_like(y[bb]) for bb in range(C))
+            u = jax.jvp(f, (y,), (seed,))[1]
+            for a in range(C):
+                Dc[a][b] = jnp.where(is_d, u[a],
+                                     Dc[a][b] if Dc[a][b] is not None
+                                     else zero_plane)
+                Uc[a][b] = jnp.where(is_u, u[a],
+                                     Uc[a][b] if Uc[a][b] is not None
+                                     else zero_plane)
+                Lc[a][b] = jnp.where(is_l, u[a],
+                                     Lc[a][b] if Lc[a][b] is not None
+                                     else zero_plane)
+    as_t = lambda M: tuple(tuple(row) for row in M)
+    return as_t(Lc), as_t(Dc), as_t(Uc)
+
+
+def stack_blocks(A):
+    """Nested-tuple block matrix -> stacked (..., C, C, n) array."""
+    return jnp.stack([jnp.stack(row, axis=-2) for row in A], axis=-3)
+
+
+def unstack_blocks(A):
+    """Stacked (..., C, C, n) block matrix -> nested tuples of planes."""
+    C = A.shape[-3]
+    return tuple(tuple(A[..., i, j, :] for j in range(C)) for i in range(C))
+
+
 def block_tridiag_jacobian(f, y, ncomp):
     """Extract (L, D, U) block diagonals of J = df/dy via colored JVPs.
 

@@ -142,11 +142,15 @@ def _comp(y, c):
     return jnp.sum(jnp.where(sel, y, 0.0), axis=-2)
 
 
-def rhs_std(y, p):
-    """dy/dt for the std model. y: (..., 3, nx)."""
-    dN = _comp(y, 0)
-    dP = _comp(y, 1)
-    E_int = _comp(y, 2)[..., :-1]
+def rhs_std_planes(y, p):
+    """dy/dt for the std model in PLANE representation.
+
+    y : tuple (dN, dP, E_shifted) of (..., nx) planes. Planes keep every op
+    on fully tiled (batch, nx) arrays — the stacked (..., C, nx) layout pads
+    C=3 -> 8 sublanes on both XLA:TPU and Mosaic (ops/blocktridiag.py note).
+    """
+    dN, dP, E = y
+    E_int = E[..., :-1]
 
     jn, jp, M, Ntot, Ptot = _fluxes(dN, dP, E_int, p)
     R = _bulk_recombination(M, Ntot, Ptot, p)
@@ -159,15 +163,16 @@ def rhs_std(y, p):
     n = dN.shape[-1]
     interior = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0] < n - 1
     dE = jnp.where(interior, -(jn[..., 1:] + jp[..., 1:]) * p.inv_dx, 0.0)
-    return jnp.stack([ddN, ddP, dE], axis=-2)
+    return (ddN, ddP, dE)
 
 
-def rhs_traps(y, p):
-    """dy/dt for the shallow-trap model. y: (..., 4, nx)."""
-    dN = _comp(y, 0)
-    Ntr = _comp(y, 1)
-    dP = _comp(y, 2)
-    E_int = _comp(y, 3)[..., :-1]
+def rhs_traps_planes(y, p):
+    """dy/dt for the shallow-trap model in plane representation.
+
+    y : tuple (dN, Ntrap, dP, E_shifted) of (..., nx) planes.
+    """
+    dN, Ntr, dP, E = y
+    E_int = E[..., :-1]
 
     jn, jp, M, Ntot, Ptot = _fluxes(dN, dP, E_int, p)
     R = _bulk_recombination(M, Ntot, Ptot, p)
@@ -180,10 +185,31 @@ def rhs_traps(y, p):
     n = dN.shape[-1]
     interior = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0] < n - 1
     dE = jnp.where(interior, -(jn[..., 1:] + jp[..., 1:]) * p.inv_dx, 0.0)
-    return jnp.stack([ddN, dNtr, ddP, dE], axis=-2)
+    return (ddN, dNtr, ddP, dE)
+
+
+def unstack_state(y, model="std"):
+    """Stacked (..., C, nx) state -> tuple of C (..., nx) planes."""
+    return tuple(y[..., c, :] for c in range(N_COMP[model]))
+
+
+def stack_state(planes):
+    """Tuple of planes -> stacked (..., C, nx) state."""
+    return jnp.stack(planes, axis=-2)
+
+
+def rhs_std(y, p):
+    """dy/dt for the std model, stacked API. y: (..., 3, nx)."""
+    return stack_state(rhs_std_planes(unstack_state(y, "std"), p))
+
+
+def rhs_traps(y, p):
+    """dy/dt for the shallow-trap model, stacked API. y: (..., 4, nx)."""
+    return stack_state(rhs_traps_planes(unstack_state(y, "traps"), p))
 
 
 RHS = {"std": rhs_std, "traps": rhs_traps}
+RHS_PLANES = {"std": rhs_std_planes, "traps": rhs_traps_planes}
 
 
 def beer_lambert(fluence, alpha, x_centers, direction=1.0):
@@ -221,8 +247,13 @@ def observables_std(y, p, dx, model="std"):
     trapezoid-with-half-edge-cells scheme, which reduces exactly to
     dx * sum over cell-centered values (reference forward_solver.py:258-264).
     """
-    dN = _comp(y, 0)
-    dP = _comp(y, 2) if model == "traps" else _comp(y, 1)
+    return observables_planes(unstack_state(y, model), p, dx, model=model)
+
+
+def observables_planes(y, p, dx, model="std"):
+    """Plane-representation observables: y is a tuple of (..., nx) planes."""
+    dN = y[0]
+    dP = y[2] if model == "traps" else y[1]
     M = _excess_product(dN, dP, p)
     pl_t = dx * jnp.sum(M, axis=-1)
     # photoconductivity ~ mu_n dN + mu_p dP; express via diff coeffs to stay

@@ -32,7 +32,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from metrotrpl_tpu.physics.models import RHS, ScaledParams, _comp, _excess_product
+from metrotrpl_tpu.physics.models import (
+    N_COMP,
+    RHS_PLANES,
+    ScaledParams,
+    _excess_product,
+)
 from metrotrpl_tpu.solver.sdirk import SDIRK_SCHEMES, sdirk_factors, sdirk_stages
 
 N_PARAM_FIELDS = len(ScaledParams._fields)
@@ -54,7 +59,7 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dxobs_ref, pl_ref, tr_ref, *,
     par = par_ref[:]                       # (Bt, NP)
     fields = [par[:, i][:, None] for i in range(N_PARAM_FIELDS)]
     p = ScaledParams(*fields)
-    rhs_fn = RHS[model]
+    rhs_fn = RHS_PLANES[model]
     rhs = lambda y: rhs_fn(y, p)
 
     dxobs = dxobs_ref[:]
@@ -62,10 +67,14 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dxobs_ref, pl_ref, tr_ref, *,
     dn = dxobs[:, 1][:, None]
     dp_ = dxobs[:, 2][:, None]
 
-    # state as (Bt, C, nx): batch leads, broadcast rules match the library
-    y = jnp.moveaxis(y0_ref[:], 0, 1)
+    # state as a tuple of (Bt, nx) planes: every value in the step loop is
+    # a fully tiled (sublane=Bt, lane=nx) array — a stacked (Bt, C, nx)
+    # layout would pad C=3 -> 8 sublanes on every op (2.67x VPU/VMEM waste;
+    # ops/blocktridiag.py layout note)
+    C = N_COMP[model]
+    y = tuple(y0_ref[c, :, :] for c in range(C))
     dt_all = dt_ref[:]                     # (Bt, n_steps)
-    dtype = y.dtype
+    dtype = y[0].dtype
 
     # Mosaic cannot lower dynamic lane-dimension slicing at arbitrary k,
     # so: (a) per-step dt is extracted with a one-hot mask + reduction,
@@ -77,13 +86,20 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dxobs_ref, pl_ref, tr_ref, *,
         return jnp.sum(dt_all * (step_iota == k).astype(dtype), axis=1)
 
     def observed(y, k):
-        dN = _comp(y, 0)
-        dP = _comp(y, 2) if model == "traps" else _comp(y, 1)
+        dN = y[0]
+        dP = y[2] if model == "traps" else y[1]
         M = _excess_product(dN, dP, p)
         pl_col = dxv * jnp.sum(M, axis=-1)
         tr_col = dxv * jnp.sum(dn * dN + dp_ * dP, axis=-1)
-        sel = (out_iota == k).astype(dtype)          # (1, n_steps+1)
-        return pl_col[:, None] * sel, tr_col[:, None] * sel
+        # select, NOT multiply-by-mask: a post-decay step whose state has
+        # blown up in f32 (tail past the min_y clamp — masked by design in
+        # the full solve path) yields a NaN column, and NaN * 0 = NaN
+        # would poison EVERY knot of the accumulator including t=0. The
+        # select confines it to its own knot, matching lax.scan semantics.
+        sel = out_iota == k                          # (1, n_steps+1)
+        zero = jnp.zeros((), dtype)
+        return (jnp.where(sel, pl_col[:, None], zero),
+                jnp.where(sel, tr_col[:, None], zero))
 
     pl0, tr0 = observed(y, 0)
 

@@ -27,7 +27,25 @@ from metrotrpl_tpu.ops.blocktridiag import (
     _shift,
     block_tridiag_jacobian,
     inv_small,
+    p_block_tridiag_jacobian,
+    p_inv_small,
+    p_mm,
+    p_mv,
+    p_shift_m,
+    p_shift_v,
 )
+
+# State representation dispatch. The integrator supports two layouts with
+# identical numerics (ops/blocktridiag.py layout note):
+# * PLANES (tuple of C (..., n) arrays): the TPU layout — every op is a
+#   fully tiled (sublane, lane) array; 2.67x less VPU work and VMEM than
+#   stacked on TPU (both XLA:TPU and Mosaic pad C=3 -> 8 sublanes).
+# * STACKED ((..., C, n) array): the CPU layout. The planes graph traces
+#   to FEWER jaxpr eqns (5.8k vs 10.8k for one step) but its many small
+#   independent buffers send XLA:CPU's backend into superlinear compile
+#   times (measured 122 s vs 12 s for one nx=16 step); the stacked form
+#   fuses into fewer, larger CPU loops.
+_is_planes = lambda y: isinstance(y, (tuple, list))
 
 _SQRT2 = math.sqrt(2.0)
 _G3 = 0.435866521508458999416019  # root of x^3 - 3x^2 + 3x/2 - 1/6
@@ -70,61 +88,118 @@ SDIRK_SCHEMES = {
 def pcr_factor(L, D, U):
     """Run the PCR matrix path once, recording per-level (alpha, beta)
     update operators plus the final decoupled D^-1. The returned factors
-    can be applied to any number of right-hand sides via :func:`pcr_apply`."""
-    n = L.shape[-1]
+    can be applied to any number of right-hand sides via :func:`pcr_apply`.
+
+    Blocks are either nested tuples of (..., n) planes or stacked
+    (..., C, C, n) arrays (representation dispatch note above)."""
+    if not _is_planes(L):
+        n = L.shape[-1]
+        n_levels = int(math.ceil(math.log2(n))) if n > 1 else 0
+        alphas, betas = [], []
+        s = 1
+        for _ in range(n_levels):
+            Dinv = inv_small(D)
+            alpha = -_mm(L, _shift(Dinv, s))
+            beta = -_mm(U, _shift(Dinv, -s))
+            alphas.append(alpha)
+            betas.append(beta)
+            L, D, U = (
+                _mm(alpha, _shift(L, s)),
+                D + _mm(alpha, _shift(U, s)) + _mm(beta, _shift(L, -s)),
+                _mm(beta, _shift(U, -s)),
+            )
+            s *= 2
+        return alphas, betas, inv_small(D)
+    n = L[0][0].shape[-1]
+    C = len(L)
     n_levels = int(math.ceil(math.log2(n))) if n > 1 else 0
     alphas, betas = [], []
     s = 1
+    neg = lambda A: tuple(tuple(-a for a in row) for row in A)
+    add = lambda A, B: tuple(tuple(a + b for a, b in zip(ra, rb))
+                             for ra, rb in zip(A, B))
     for _ in range(n_levels):
-        Dinv = inv_small(D)
-        alpha = -_mm(L, _shift(Dinv, s))
-        beta = -_mm(U, _shift(Dinv, -s))
+        Dinv = p_inv_small(D)
+        alpha = neg(p_mm(L, p_shift_m(Dinv, s)))
+        beta = neg(p_mm(U, p_shift_m(Dinv, -s)))
         alphas.append(alpha)
         betas.append(beta)
         L, D, U = (
-            _mm(alpha, _shift(L, s)),
-            D + _mm(alpha, _shift(U, s)) + _mm(beta, _shift(L, -s)),
-            _mm(beta, _shift(U, -s)),
+            p_mm(alpha, p_shift_m(L, s)),
+            add(D, add(p_mm(alpha, p_shift_m(U, s)),
+                       p_mm(beta, p_shift_m(L, -s)))),
+            p_mm(beta, p_shift_m(U, -s)),
         )
         s *= 2
-    return alphas, betas, inv_small(D)
+    return alphas, betas, p_inv_small(D)
 
 
 def pcr_apply(factors, b):
-    """Solve M x = b using factors from :func:`pcr_factor`."""
+    """Solve M x = b using factors from :func:`pcr_factor`; b is a tuple of
+    C (..., n) planes or a stacked (..., C, n) array."""
     alphas, betas, Dinv_final = factors
+    if not _is_planes(b):
+        s = 1
+        for alpha, beta in zip(alphas, betas):
+            b = b + _mv(alpha, _shift(b, s)) + _mv(beta, _shift(b, -s))
+            s *= 2
+        return _mv(Dinv_final, b)
     s = 1
     for alpha, beta in zip(alphas, betas):
-        b = b + _mv(alpha, _shift(b, s)) + _mv(beta, _shift(b, -s))
+        lo = p_mv(alpha, p_shift_v(b, s))
+        hi = p_mv(beta, p_shift_v(b, -s))
+        b = tuple(bi + li + hj for bi, li, hj in zip(b, lo, hi))
         s *= 2
-    return _mv(Dinv_final, b)
+    return p_mv(Dinv_final, b)
 
 
 def sdirk_factors(rhs, y, h, scheme):
     """Factor the Newton matrix M = I - h*gamma*J(y) (PCR factors reusable
-    across stages, Newton iterations, and — in chord mode — steps)."""
-    C = y.shape[-2]
-    hb = jnp.asarray(h)[..., None, None]
-    hg = (hb * scheme.gamma)[..., None]  # broadcasts over (C, C, n)
-    L, D, U = block_tridiag_jacobian(rhs, y, C)
-    MD = -hg * D
-    # unit diagonal via an in-trace mask (.at[i, i].add would lower to
-    # scatter-add, which Mosaic cannot lower inside Pallas kernels)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-    eye = (ii == jj).astype(y.dtype)[..., None]
-    MD = MD + eye
-    alphas, betas, Dinv = pcr_factor(-hg * L, MD, -hg * U)
+    across stages, Newton iterations, and — in chord mode — steps).
+
+    y : tuple of C (..., n) planes (rhs maps plane tuple -> plane tuple) or
+    a stacked (..., C, n) array (rhs maps array -> array).
+    """
+    if not _is_planes(y):
+        C = y.shape[-2]
+        hb = jnp.asarray(h)[..., None, None]
+        hg = (hb * scheme.gamma)[..., None]  # broadcasts over (C, C, n)
+        L, D, U = block_tridiag_jacobian(rhs, y, C)
+        MD = -hg * D
+        # unit diagonal via an in-trace mask (.at[i, i].add would lower to
+        # scatter-add, which Mosaic cannot lower inside Pallas kernels)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+        eye = (ii == jj).astype(y.dtype)[..., None]
+        MD = MD + eye
+        alphas, betas, Dinv = pcr_factor(-hg * L, MD, -hg * U)
+        return tuple(alphas), tuple(betas), Dinv
+    C = len(y)
+    hb = jnp.asarray(h)[..., None]       # broadcasts over (..., n) planes
+    hg = hb * scheme.gamma
+    L, D, U = p_block_tridiag_jacobian(rhs, y)
+    # M = I - h*gamma*J, blockwise; the unit diagonal is plain Python
+    # structure in plane representation (no iota masks needed)
+    MD = tuple(tuple((1.0 - hg * D[i][j]) if i == j else -hg * D[i][j]
+                     for j in range(C)) for i in range(C))
+    ML = tuple(tuple(-hg * L[i][j] for j in range(C)) for i in range(C))
+    MU = tuple(tuple(-hg * U[i][j] for j in range(C)) for i in range(C))
+    alphas, betas, Dinv = pcr_factor(ML, MD, MU)
     return tuple(alphas), tuple(betas), Dinv
 
 
 def sdirk_stages(rhs, y, h, scheme, factors, newton_iters=2):
     """Run the stage sweep of one SDIRK step using prefactored Newton
     matrices (modified Newton: `factors` may be from an earlier state —
-    the chord method — as long as h matches)."""
-    hb = jnp.asarray(h)[..., None, None]  # broadcast over (C, n)
+    the chord method — as long as h matches). y is a tuple of planes or a
+    stacked (..., C, n) array; the stage algebra is representation-agnostic
+    via jax.tree.map."""
+    # broadcast h over (..., n) planes / (..., C, n) stacked state
+    hb = jnp.asarray(h)[..., None] if _is_planes(y) \
+        else jnp.asarray(h)[..., None, None]
     gamma = scheme.gamma
     n_stages = scheme.A.shape[0]
+    tmap = jax.tree.map
     fs = []
     for i in range(n_stages):
         acc = y
@@ -132,7 +207,8 @@ def sdirk_stages(rhs, y, h, scheme, factors, newton_iters=2):
             if scheme.A[i, j] != 0.0:
                 # python-float coefficient: numpy scalars would promote a
                 # float32 carry to float64 under jax_enable_x64
-                acc = acc + (hb * float(scheme.A[i, j])) * fs[j]
+                c = float(scheme.A[i, j])
+                acc = tmap(lambda a, f: a + (hb * c) * f, acc, fs[j])
         if scheme.A[i, i] == 0.0:
             # explicit first stage (ESDIRK): Y_i = y_n
             fs.append(rhs(y))
@@ -140,17 +216,18 @@ def sdirk_stages(rhs, y, h, scheme, factors, newton_iters=2):
         # Solve Y = acc + h*gamma*f(Y) by modified Newton.
         Y = acc
         for _ in range(newton_iters):
-            G = Y - hb * gamma * rhs(Y) - acc
-            Y = Y - pcr_apply(factors, G)
-        fs.append((Y - acc) / (hb * gamma))
+            G = tmap(lambda Yi, ri, ai: Yi - hb * gamma * ri - ai,
+                     Y, rhs(Y), acc)
+            Y = tmap(lambda Yi, di: Yi - di, Y, pcr_apply(factors, G))
+        fs.append(tmap(lambda Yi, ai: (Yi - ai) / (hb * gamma), Y, acc))
     return Y
 
 
 def sdirk_step(rhs, y, h, scheme, newton_iters=2):
-    """One SDIRK step of size h (h may be batched, broadcastable to
-    y.shape[:-2]).
+    """One SDIRK step of size h (h may be batched, broadcastable to the
+    planes' batch dims).
 
-    rhs : state (..., C, n) -> (..., C, n)
+    rhs : plane tuple (C arrays (..., n)) -> plane tuple
     Returns y_{n+1} (the final stage — all schemes here are stiffly
     accurate).
     """
@@ -162,8 +239,9 @@ def integrate_observables(rhs, observe, y0, dts, scheme_name="sdirk3",
                           newton_iters=2, refactor_every=1, n_ramp=None):
     """Scan the stepper over a step-size sequence, emitting observables.
 
+    y0 : plane-tuple state (C arrays of (..., n)).
     dts : (n_steps, ...) per-step sizes (leading axis = time).
-    observe : state -> pytree of per-state observables.
+    observe : plane-tuple state -> pytree of per-state observables.
     Returns a pytree of arrays with leading axis (n_steps + 1) including the
     initial state's observables at index 0.
 

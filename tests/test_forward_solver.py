@@ -151,8 +151,12 @@ def test_pallas_backend_matches_xla_interpret():
     from metrotrpl_tpu.physics.models import beer_lambert
     from metrotrpl_tpu.solver.forward import make_forward_plan, solve_forward_batch
 
-    B, nx = 16, 32
-    lengths = [311.0, 2000.0] * 8
+    # smallest meaningful shapes: the planes-representation graph the
+    # interpret path traces compiles superlinearly slowly on XLA:CPU
+    # (solver/sdirk.py representation note), so keep nx (PCR depth) and
+    # the step count minimal
+    B, nx = 8, 32
+    lengths = [311.0, 2000.0] * 4
     times = [np.linspace(0, 50, 9)] * B
     plan = make_forward_plan(lengths, [nx] * B, ["TRPL"] * B, times)
     x = jnp.asarray(plan.x_centers, jnp.float32)
@@ -167,8 +171,10 @@ def test_pallas_backend_matches_xla_interpret():
         lambda *a: solve_forward_batch(*a, backend="xla"))(*args))
     sp = np.asarray(jax.jit(
         lambda *a: solve_forward_batch(
-            *a, backend="pallas_interpret", block_b=16))(*args))
-    np.testing.assert_allclose(sp, sx, rtol=1e-6)
+            *a, backend="pallas_interpret", block_b=8))(*args))
+    # xla on CPU runs the stacked layout, the kernel runs planes; the two
+    # are the same math with reassociated f32 reductions
+    np.testing.assert_allclose(sp, sx, rtol=2e-5)
 
     # backend="auto" must resolve to the op-graph on CPU (the fused kernel
     # only lowers on TPU) and reproduce the XLA result exactly
@@ -241,13 +247,19 @@ def test_pallas_interpret_chord_matches_xla():
 
     from metrotrpl_tpu.solver.forward import make_forward_plan, solve_forward_batch
 
-    thickness, nx = 311.0, 128
+    # Minimal shapes: the interpret path compiles the PLANES graph, which
+    # XLA:CPU builds pathologically slowly (solver/sdirk.py representation
+    # note) — nx=16, one Newton iteration, and a 2-step chord block keep
+    # the compile tolerable. The chord phase structure under test (ramp /
+    # shared-factor blocks / output accumulation) is independent of these
+    # sizes.
+    thickness, nx = 311.0, 16
     params = staub_params()
     init_dN = _ic(thickness, nx)
-    t_out = np.linspace(0, 200, 26)
+    t_out = np.linspace(0, 100, 11)
     plan = make_forward_plan([thickness], [nx], ["TRPL"], [t_out],
                              hmax=16.0, align_outputs=False,
-                             refactor_every=4)
+                             refactor_every=2)
     assert plan.n_ramp is not None and plan.n_ramp < plan.n_steps
 
     B = 8
@@ -258,9 +270,12 @@ def test_pallas_interpret_chord_matches_xla():
             jnp.asarray(np.tile(plan.out_idx, (B, 1))),
             jnp.asarray(np.tile(plan.is_trpl, B)))
     kw = dict(out_w=jnp.asarray(np.tile(plan.out_w, (B, 1)), jnp.float32),
-              refactor_every=plan.refactor_every, n_ramp=plan.n_ramp)
+              refactor_every=plan.refactor_every, n_ramp=plan.n_ramp,
+              newton_iters=1)
     sol_x = jax.jit(lambda *a: solve_forward_batch(*a, backend="xla", **kw))(*args)
     sol_p = jax.jit(lambda *a: solve_forward_batch(
         *a, backend="pallas_interpret", block_b=8, **kw))(*args)
+    # stacked (xla-on-cpu) vs planes (kernel): same math, reassociated
+    # f32 reductions
     np.testing.assert_allclose(np.asarray(sol_p), np.asarray(sol_x),
-                               rtol=1e-6)
+                               rtol=2e-5)
