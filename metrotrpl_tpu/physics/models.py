@@ -9,20 +9,41 @@ densities and normalized units:
     y2 = E / (lam * dx * ns)            (lam = q_C / (eps * eps0))
 
 This is exact algebra, not an approximation: NP - n0*p0 =
-ns^2 * (n0t*y1 + p0t*y0 + y0*y1) with n0t = n0/ns, p0t = p0/ns. The payoff
+ns^2 * (n0t*dP + p0t*dN + dN*dP) with n0t = n0/ns, p0t = p0/ns. The payoff
 on TPU is that every state component stays O(1), so the stepper runs in
 float32 without catastrophic cancellation in the recombination and
 surface-flux terms.
 
-State layout: y has shape (..., C, nx) — component axis BEFORE the cell
-axis, so the nx cells ride the TPU's 128-wide vector lanes (the
-load-bearing layout decision; see ops/blocktridiag.py). Component slots are
-(dN, dP, E_shifted) for the std model (C=3) and (dN, Ntrap, dP, E_shifted)
-for the traps model (C=4), where E_shifted[i] = E_{i+1}. The interior E
-edges are 1..nx-1; E_0 and E_nx are exactly conserved by the dynamics (the
-boundary currents cancel: Jn+Jp = 0 at both surfaces) and remain at their
-initial value 0, so they are not part of the state. The last cell's E slot
-is a dummy with zero dynamics.
+ANTISYMMETRIC SPLIT (the second float32-critical transform): the state
+carries dD = dP - dN instead of dP. Photoexcitation creates equal carrier
+populations, so dN and dP agree to ~12 decades while their difference — the
+charge separation that sources the E field — is the physically meaningful
+small quantity. Computing dE/dt ~ -(Jn + Jp) from separately stored f32
+dN/dP is catastrophic: the f32 representation of dN, dP carries no
+information below ~1e-7 relative, the flux sum cancels to noise, and the
+drift feedback (mu * lam * dx * ns grows linearly with fluence) amplifies
+that noise into a hard blowup — measured at the staub 2.75e13 cm^-2 row:
+the true scaled E is ~1e-12 while f32 noise reached 1e-3 and exploded at
+t~220 ns (any hmax, any newton_iters). With dD as a state component the
+sum flux is EXACT algebra in (dD, E):
+
+    Jn + Jp = (drift_n*Ne + drift_p*Pe)*E
+              + [(diff_n - diff_p)*d(dN) - diff_p*d(dD)] / dx
+
+(surface terms cancel identically; bulk recombination cancels identically
+in d(dD)/dt), so the symmetric mode never passes through a subtraction of
+two O(1) numbers. Reference parity: same PDE as reference
+forward_solver.py:277-418, exact linear change of variables.
+
+State layout: y is a tuple of C (..., nx) planes (or the stacked
+(..., C, nx) array for the CPU path — see ops/blocktridiag.py). Component
+slots are (dN, dD, E_shifted) for the std model (C=3) and
+(dN, Ntrap, dD, E_shifted) for the traps model (C=4), where
+E_shifted[i] = E_{i+1}. The interior E edges are 1..nx-1; E_0 and E_nx are
+exactly conserved by the dynamics (the boundary currents cancel:
+Jn+Jp = 0 at both surfaces) and remain at their initial value 0, so they
+are not part of the state. The last cell's E slot is a dummy with zero
+dynamics.
 """
 
 from typing import NamedTuple
@@ -93,8 +114,23 @@ def _excess_product(dN, dP, p):
     return p.n0t * dP + p.p0t * dN + dN * dP
 
 
-def _fluxes(dN, dP, E_int, p):
-    """Scaled edge currents (Jn/ns, Jp/ns) at the nx+1 edges."""
+def _fluxes(dN, dD, E, p):
+    """Scaled electron edge current jn and sum current F = (Jn+Jp)/ns,
+    both on the full nx+1 edge grid, antisymmetric-split form.
+
+    E is the full-length shifted-edge state plane (slot i = E_{i+1}). F is
+    the cancellation-free form (module docstring): the surface terms
+    cancel identically (boundary entries exact zeros) and the diffusion
+    difference is expressed through d(dD) and the mobility difference — no
+    subtraction of two O(1) f32 numbers anywhere.
+
+    The _fresh on dP is load-bearing inside Pallas kernels: a plane derived
+    by adding two loop-carried planes feeds Mosaic's concat/slice lowering
+    a layout it aborts on (compile-helper SIGABRT, bisected to exactly this
+    add); the masked identity rewrites the layout to offset-0. XLA folds it
+    away outside Pallas.
+    """
+    dP = _fresh(dN + dD)
     M = _excess_product(dN, dP, p)
     Ntot = p.n0t + dN
     Ptot = p.p0t + dP
@@ -102,16 +138,24 @@ def _fluxes(dN, dP, E_int, p):
     s_front = p.sf * M[..., :1] / (Ntot[..., :1] + Ptot[..., :1])
     s_back = p.sb * M[..., -1:] / (Ntot[..., -1:] + Ptot[..., -1:])
 
+    E_int = E[..., :-1]
     Ne = 0.5 * (Ntot[..., :-1] + Ntot[..., 1:])
     Pe = 0.5 * (Ptot[..., :-1] + Ptot[..., 1:])
-    jn_int = (p.drift_n * Ne * E_int
-              + p.diff_n * (dN[..., 1:] - dN[..., :-1]) * p.inv_dx)
-    jp_int = (p.drift_p * Pe * E_int
-              - p.diff_p * (dP[..., 1:] - dP[..., :-1]) * p.inv_dx)
+    ddN_e = dN[..., 1:] - dN[..., :-1]
+    ddD_e = dD[..., 1:] - dD[..., :-1]
+    jn_int = p.drift_n * Ne * E_int + p.diff_n * ddN_e * p.inv_dx
+    F_int = ((p.drift_n * Ne + p.drift_p * Pe) * E_int
+             + ((p.diff_n - p.diff_p) * ddN_e - p.diff_p * ddD_e)
+             * p.inv_dx)
 
+    # Boundary F entries are EXACT zeros (surface terms cancel
+    # identically). They are emitted as s * 0.0 — non-constant — because
+    # Mosaic mis-folds slices of concats with constant-zero width-1
+    # operands (vector_extract_strided_slice "limits 2 vs dim 1"); this
+    # mirrors the jn concat structure one-to-one, which lowers cleanly.
     jn = jnp.concatenate([s_front, jn_int, -s_back], axis=-1)
-    jp = jnp.concatenate([-s_front, jp_int, s_back], axis=-1)
-    return jn, jp, M, Ntot, Ptot
+    F = jnp.concatenate([s_front * 0.0, F_int, s_back * 0.0], axis=-1)
+    return jn, F, M, Ntot, Ptot
 
 
 def _bulk_recombination(M, Ntot, Ptot, p):
@@ -145,47 +189,53 @@ def _comp(y, c):
 def rhs_std_planes(y, p):
     """dy/dt for the std model in PLANE representation.
 
-    y : tuple (dN, dP, E_shifted) of (..., nx) planes. Planes keep every op
-    on fully tiled (batch, nx) arrays — the stacked (..., C, nx) layout pads
-    C=3 -> 8 sublanes on both XLA:TPU and Mosaic (ops/blocktridiag.py note).
-    """
-    dN, dP, E = y
-    E_int = E[..., :-1]
+    y : tuple (dN, dD, E_shifted) of (..., nx) planes (module docstring).
+    Planes keep every op on fully tiled (batch, nx) arrays — the stacked
+    (..., C, nx) layout pads C=3 -> 8 sublanes on both XLA:TPU and Mosaic
+    (ops/blocktridiag.py note).
 
-    jn, jp, M, Ntot, Ptot = _fluxes(dN, dP, E_int, p)
+    d(dD)/dt = d(dP)/dt - d(dN)/dt = -div(Jn + Jp): bulk recombination
+    enters dN' and dP' identically and cancels EXACTLY (symbolically, not
+    numerically) — reference forward_solver.py:332-372 algebra.
+    """
+    dN, dD, E = y
+
+    jn, F, M, Ntot, Ptot = _fluxes(dN, dD, E, p)
     R = _bulk_recombination(M, Ntot, Ptot, p)
 
     ddN = _fresh((jn[..., 1:] - jn[..., :-1]) * p.inv_dx - R)
-    ddP = _fresh(-(jp[..., 1:] - jp[..., :-1]) * p.inv_dx - R)
-    # dE over edges 1..nx; the last entry is exactly 0 (the boundary
-    # currents cancel: jn+jp = -sb+sb), masked anyway — no concat, which
-    # Mosaic cannot lower for offset operands.
+    ddD = _fresh(-(F[..., 1:] - F[..., :-1]) * p.inv_dx)
+    # dE over edges 1..nx; the last entry is exactly 0 (F's back-surface
+    # entry is exactly zero by construction), masked anyway.
     n = dN.shape[-1]
     interior = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0] < n - 1
-    dE = jnp.where(interior, -(jn[..., 1:] + jp[..., 1:]) * p.inv_dx, 0.0)
-    return (ddN, ddP, dE)
+    dE = jnp.where(interior, -F[..., 1:] * p.inv_dx, 0.0)
+    return (ddN, ddD, dE)
 
 
 def rhs_traps_planes(y, p):
     """dy/dt for the shallow-trap model in plane representation.
 
-    y : tuple (dN, Ntrap, dP, E_shifted) of (..., nx) planes.
+    y : tuple (dN, Ntrap, dD, E_shifted) of (..., nx) planes. Trap capture
+    moves electrons only, so it enters d(dD)/dt with opposite sign to
+    d(dN)/dt (trapped charge is real charge separation — dD and E become
+    physically large when traps are active, which f32 resolves fine; the
+    split only needs to protect the NOISE-dominated symmetric regime).
     """
-    dN, Ntr, dP, E = y
-    E_int = E[..., :-1]
+    dN, Ntr, dD, E = y
 
-    jn, jp, M, Ntot, Ptot = _fluxes(dN, dP, E_int, p)
+    jn, F, M, Ntot, Ptot = _fluxes(dN, dD, E, p)
     R = _bulk_recombination(M, Ntot, Ptot, p)
     trap = p.kc_s * Ntot * (p.nt_s - Ntr)
     detrap = Ntr * p.inv_tauE
 
     ddN = _fresh((jn[..., 1:] - jn[..., :-1]) * p.inv_dx - R + detrap - trap)
     dNtr = _fresh(trap - detrap)
-    ddP = _fresh(-(jp[..., 1:] - jp[..., :-1]) * p.inv_dx - R)
+    ddD = _fresh(-(F[..., 1:] - F[..., :-1]) * p.inv_dx + trap - detrap)
     n = dN.shape[-1]
     interior = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0] < n - 1
-    dE = jnp.where(interior, -(jn[..., 1:] + jp[..., 1:]) * p.inv_dx, 0.0)
-    return (ddN, dNtr, ddP, dE)
+    dE = jnp.where(interior, -F[..., 1:] * p.inv_dx, 0.0)
+    return (ddN, dNtr, ddD, dE)
 
 
 def unstack_state(y, model="std"):
@@ -223,18 +273,18 @@ def beer_lambert(fluence, alpha, x_centers, direction=1.0):
 def initial_state(init_dN, ns, model="std", dtype=None):
     """Scaled initial state from an excess-density profile [nm^-3].
 
-    dN = dP initially, so the charge-separation field starts at exactly 0
-    (reference forward_solver.py:120-122 computes it from the cumulative
-    excess-charge integral, which vanishes for equal excesses).
+    dN = dP initially, so the charge difference dD and the field E start
+    at exactly 0 (reference forward_solver.py:120-122 computes E from the
+    cumulative excess-charge integral, which vanishes for equal excesses).
     """
     y0 = init_dN / ns
     if dtype is not None:
         y0 = y0.astype(dtype)
     zeros = jnp.zeros_like(y0)
     if model == "std":
-        return jnp.stack([y0, y0, zeros], axis=-2)
+        return jnp.stack([y0, zeros, zeros], axis=-2)
     if model == "traps":
-        return jnp.stack([y0, zeros, y0, zeros], axis=-2)
+        return jnp.stack([y0, zeros, zeros, zeros], axis=-2)
     raise ValueError(f"Invalid model {model}")
 
 
@@ -251,9 +301,12 @@ def observables_std(y, p, dx, model="std"):
 
 
 def observables_planes(y, p, dx, model="std"):
-    """Plane-representation observables: y is a tuple of (..., nx) planes."""
+    """Plane-representation observables: y is a tuple of (..., nx) planes
+    in antisymmetric-split components (dP recovered as dN + dD — adding
+    the small difference back is cancellation-free)."""
     dN = y[0]
-    dP = y[2] if model == "traps" else y[1]
+    dD = y[2] if model == "traps" else y[1]
+    dP = dN + dD
     M = _excess_product(dN, dP, p)
     pl_t = dx * jnp.sum(M, axis=-1)
     # photoconductivity ~ mu_n dN + mu_p dP; express via diff coeffs to stay
@@ -285,19 +338,19 @@ def efield_init(N, P, n0, p0, eps, dx, corner_E=0.0):
 
 
 def scaled_to_raw_state(y, ns, n0, p0, lam, dx, model="std"):
-    """Convert a scaled state back to the reference's flat [N, P, E] /
-    [N, Ntrap, P, E] layout (float64 test utility)."""
+    """Convert a scaled antisymmetric-split state back to the reference's
+    flat [N, P, E] / [N, Ntrap, P, E] layout (float64 test utility)."""
     e_scale = lam * dx * ns
     if model == "std":
         N = y[..., 0, :] * ns + n0
-        P = y[..., 1, :] * ns + p0
+        P = (y[..., 0, :] + y[..., 1, :]) * ns + p0
         E_int = y[..., 2, :-1] * e_scale
         zero = np.zeros(E_int.shape[:-1] + (1,))
         E = np.concatenate([zero, E_int, zero], axis=-1)
         return np.concatenate([N, P, E], axis=-1)
     N = y[..., 0, :] * ns + n0
     Ntr = y[..., 1, :] * ns
-    P = y[..., 2, :] * ns + p0
+    P = (y[..., 0, :] + y[..., 2, :]) * ns + p0
     E_int = y[..., 3, :-1] * e_scale
     zero = np.zeros(E_int.shape[:-1] + (1,))
     E = np.concatenate([zero, E_int, zero], axis=-1)

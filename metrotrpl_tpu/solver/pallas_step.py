@@ -87,7 +87,8 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dxobs_ref, pl_ref, tr_ref, *,
 
     def observed(y, k):
         dN = y[0]
-        dP = y[2] if model == "traps" else y[1]
+        dD = y[2] if model == "traps" else y[1]   # antisymmetric split
+        dP = dN + dD
         M = _excess_product(dN, dP, p)
         pl_col = dxv * jnp.sum(M, axis=-1)
         tr_col = dxv * jnp.sum(dn * dN + dp_ * dP, axis=-1)

@@ -50,12 +50,13 @@ def _setup(nx=24, thickness=311.0, rngseed=7):
 
 
 def _scaled_state_from(dN, dP, E_int, ns, lam, dx, model="std", Ntr=None):
-    """Component-first state (C, nx)."""
+    """Component-first state (C, nx) in antisymmetric-split components
+    (dN, [Ntrap,] dD = dP - dN, E_shifted)."""
     e_scale = lam * dx * ns
     cols = [dN / ns]
     if model == "traps":
         cols.append((Ntr if Ntr is not None else np.zeros_like(dN)) / ns)
-    cols.append(dP / ns)
+    cols.append((dP - dN) / ns)
     E_pad = np.concatenate([E_int / e_scale, [0.0]])
     cols.append(E_pad)
     return jnp.asarray(np.stack(cols, axis=0))
@@ -97,13 +98,21 @@ def test_rhs_matches_oracle(model):
 
     e_scale = lam * dx * ns
     np.testing.assert_allclose(dy[0] * ns, dN_ref, rtol=1e-10)
+    # the dD slot carries d(dP - dN)/dt; the reference difference suffers
+    # f64 cancellation (R cancels numerically there, exactly here), so
+    # compare against the state-space-resolved quantity with a tolerance
+    # scaled to the individual rates
     if model == "std":
-        np.testing.assert_allclose(dy[1] * ns, dP_ref, rtol=1e-10)
+        scale = np.abs(dP_ref) + np.abs(dN_ref)
+        np.testing.assert_allclose(dy[1] * ns, dP_ref - dN_ref,
+                                   atol=1e-10 * scale.max(), rtol=1e-7)
         np.testing.assert_allclose(dy[2, :-1] * e_scale, dE_ref, rtol=1e-10)
         assert dy[2, -1] == 0.0
     else:
         np.testing.assert_allclose(dy[1] * ns, dNtr_ref, rtol=1e-10)
-        np.testing.assert_allclose(dy[2] * ns, dP_ref, rtol=1e-10)
+        scale = np.abs(dP_ref) + np.abs(dN_ref)
+        np.testing.assert_allclose(dy[2] * ns, dP_ref - dN_ref,
+                                   atol=1e-10 * scale.max(), rtol=1e-7)
         np.testing.assert_allclose(dy[3, :-1] * e_scale, dE_ref, rtol=1e-10)
 
 
@@ -122,9 +131,10 @@ def test_traps_reduces_to_std():
     y4 = _scaled_state_from(dN, dP, E_int, ns, lam, dx, "traps")
     d3 = np.asarray(rhs_std(y3, sp))
     d4 = np.asarray(rhs_traps(y4, sp))
-    np.testing.assert_allclose(d4[0], d3[0], rtol=1e-12)
-    np.testing.assert_allclose(d4[2], d3[1], rtol=1e-12)
-    np.testing.assert_allclose(d4[1], 0.0, atol=1e-15)
+    np.testing.assert_allclose(d4[0], d3[0], rtol=1e-12)   # dN'
+    np.testing.assert_allclose(d4[2], d3[1], rtol=1e-12)   # dD'
+    np.testing.assert_allclose(d4[3], d3[2], rtol=1e-12)   # E'
+    np.testing.assert_allclose(d4[1], 0.0, atol=1e-15)     # Ntrap'
 
 
 def test_equilibrium_is_steady_state():
@@ -175,5 +185,6 @@ def test_observables_match_oracle():
 def test_initial_state_has_zero_field():
     init_dN = jnp.asarray(np.linspace(1e-5, 1e-7, 16))
     y = initial_state(init_dN, 1e-5, model="std")
+    # dD (charge difference) and E start at exactly zero
+    np.testing.assert_allclose(np.asarray(y[1]), 0.0, atol=0)
     np.testing.assert_allclose(np.asarray(y[2]), 0.0, atol=0)
-    np.testing.assert_allclose(np.asarray(y[0]), np.asarray(y[1]))
