@@ -296,10 +296,9 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16,
                     eval_chunk=None, escalate="inline"):
     """Build the batched evaluation function.
 
-    backend : "xla" (portable), "pallas" (fused TPU kernel; degrades
-    more gracefully with batch on hardware), or "auto" (xla below the
-    ~64-simulation VMEM spill cliff, pallas past it — per-batch choice
-    made in solve_forward_batch).
+    backend : "xla" (portable), "pallas" (fused TPU kernel), or "auto"
+    (pallas on TPU — fastest at every measured batch size — xla on
+    CPU/GPU; choice made in solve_forward_batch).
     eval_chunk : evaluate at most this many states per solver batch,
     looping chunks sequentially (lax.map). Bounds the solver working set:
     the XLA stepper's materialized PCR factors spill VMEM past ~64

@@ -218,16 +218,22 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
     first time the signal dips below min_y everything is held at min_y
     (reference forward_solver.py:190-201).
 
-    backend="auto" picks per batch size: the XLA op-graph wins below the
-    VMEM spill cliff (its materialized PCR factors fit), the fused Pallas
-    kernel degrades more gracefully past it (docs/TPU_NOTES.md perf table).
+    backend="auto" = the fused Pallas kernel on TPU (fastest at every
+    measured batch size since the plane-tuple/antisymmetric-split rework),
+    the XLA op-graph elsewhere (docs/TPU_NOTES.md perf table).
     """
     if backend == "auto":
-        # the fused kernel only lowers on TPU; CPU always takes the op-graph
+        # The fused kernel only lowers on TPU; CPU always takes the op-graph.
+        # Since the plane-tuple + antisymmetric-split rework the fused kernel
+        # is the fastest TPU path at EVERY batch size (sweep_r2_final:
+        # B=48 3314 vs 2942 solves/s, B=96 5400 vs 483, B=192 7346 vs 949),
+        # so auto = pallas whenever we are on TPU. block_b=48 is the
+        # measured optimum for B>=96; 16 below (less padding waste, and the
+        # B=96/b16 grid schedule is anomalously slow — docs/TPU_NOTES.md).
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        if on_tpu and init_dN.shape[0] > 64:
+        if on_tpu:
             backend = "pallas"
-            block_b = max(block_b, 32)  # measured optimum past the cliff
+            block_b = 48 if init_dN.shape[0] >= 96 else 16
         else:
             backend = "xla"
     # Pad the batch to a multiple of the float32 sublane count. This keeps
