@@ -42,12 +42,17 @@ def cmd_mcmc(args):
     # reference main.py:36 seeds with the jobid; our keyed-stream equivalent
     seed = args.seed if args.seed is not None else (jobid or
                                                     235817049752375780)
+    n_ens = getattr(args, "ensembles", 1)
     metro(sim_info, iniPar, e_data, MCMC_fields, param_info,
           verbose=args.verbose, export_path=export_path,
           logger_name=f"Ensemble{jobid}", seed=seed,
-          irf_dir=args.irf_dir)
-    print(f"Done. Output: "
-          f"{os.path.join(MCMC_fields['output_path'], export_path)}")
+          irf_dir=args.irf_dir, n_ensembles=n_ens)
+    if n_ens > 1:
+        outs = ", ".join(f"CPU{e}-final.pik" for e in range(n_ens))
+        print(f"Done. Outputs in {MCMC_fields['output_path']}: {outs}")
+    else:
+        print(f"Done. Output: "
+              f"{os.path.join(MCMC_fields['output_path'], export_path)}")
 
 
 def cmd_dense(args):
@@ -260,6 +265,12 @@ def main(argv=None):
         sp.add_argument("--seed", type=int, default=None)
         sp.add_argument("--verbose", action="store_true")
         sp.add_argument("--irf-dir", default="IRFs")
+        if name == "mcmc":
+            sp.add_argument(
+                "--ensembles", type=int, default=1,
+                help="independent MH replicas fused through one compiled "
+                     "kernel (TPU aggregate-throughput optimum); each "
+                     "gets seed+e and its own CPU{e}-final.pik")
         if name == "mle":
             sp.add_argument("--maxiter", type=int, default=None)
         sp.set_defaults(fn=fn)

@@ -161,11 +161,13 @@ def vmap_ensembles(kernel):
     """Vectorize a compiled MH kernel over a leading ensembles axis.
 
     States/ll/keys gain a leading E axis; each ensemble gets its own RNG
-    key, so results equal E separate runs exactly. CAUTION: on TPU the
-    fused E*K*M simulation batch spills VMEM past ~64 simultaneous
-    simulations and loses 4-8x throughput (docs/TPU_NOTES.md) — prefer
-    :func:`run_ensembles_sequential`, which keeps every ensemble at the
-    per-chip optimum.
+    key, so results equal E separate runs exactly. With the fused Pallas
+    backend (backend="auto" on TPU) the E*K*M simulation batch KEEPS
+    SCALING past the old VMEM cliff (sweep_r2_final: 3314 solves/s at
+    B=48 -> 7346 at B=192), so this is the aggregate-throughput optimum
+    for E >= 2. On the XLA backend the fused batch spills VMEM past ~64
+    simultaneous simulations — there prefer
+    :func:`run_ensembles_sequential`.
     """
     return kernel._replace(
         run_window=jax.jit(jax.vmap(kernel.run_window,
@@ -178,10 +180,11 @@ def run_ensembles_sequential(kernel, states_E, ll_E, k0, keys_E):
     """Advance E independent tempered ensembles one window each by running
     the compiled single-ensemble kernel back-to-back.
 
-    This is the VMEM-optimal single-chip multi-ensemble schedule: one
-    ensemble's (K x M) solve batch sits at the throughput optimum, while a
-    fused E-fold batch crosses the XLA stepper's VMEM spill cliff and runs
-    4-8x slower in aggregate (measured; docs/TPU_NOTES.md round-2 table).
+    This is the VMEM-optimal multi-ensemble schedule for the XLA op-graph
+    backend: one ensemble's (K x M) solve batch sits at that stepper's
+    throughput optimum, while a fused E-fold batch crosses its VMEM spill
+    cliff and runs 4-8x slower in aggregate (docs/TPU_NOTES.md round-2
+    table). With the fused Pallas backend :func:`vmap_ensembles` is faster.
     All E window executions are dispatched asynchronously, so the device
     runs them gaplessly; aggregate throughput equals E x the single-
     ensemble rate per window, i.e. the chip's peak.
@@ -192,6 +195,141 @@ def run_ensembles_sequential(kernel, states_E, ll_E, k0, keys_E):
     outs = [kernel.run_window(states_E[e], ll_E[e], k0, keys_E[e])
             for e in range(states_E.shape[0])]
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
+
+
+def run_mh_fused(ensembles, like_plan, move_plan, logger, seeds,
+                 export_paths=None, dtype=jnp.float64, starting_iter=0,
+                 need_initial_state=True, backend="auto", escalate=True):
+    """Advance E independent tempered ensembles in lockstep through ONE
+    fused compiled kernel (:func:`vmap_ensembles`), the aggregate-
+    throughput optimum on TPU with the fused Pallas backend (the E*K*M
+    solve batch keeps scaling: +2.2x aggregate walker-steps at E=4 vs
+    one ensemble — docs/TPU_NOTES.md sweep_r2_final).
+
+    All ensembles must share the run geometry (temps, num_iters,
+    checkpoint_freq, proposal plan — i.e. come from the same config) but
+    each carries its own RNG stream, states, History, and export file;
+    per-ensemble results are bit-identical to E separate :func:`run_mh`
+    calls with the same seeds (vmap_ensembles contract,
+    tests/test_metropolis.py).
+
+    ensembles : list of io.ensemble.Ensemble (mutated in place).
+    seeds : list of E RNG seeds (reference jobid semantics, main.py:36).
+    export_paths : per-ensemble checkpoint filenames.
+    """
+    E = len(ensembles)
+    if export_paths is None:
+        export_paths = [f"CPU{e}-final.pik" for e in range(E)]
+    ef0 = ensembles[0].ensemble_fields
+    num_iters = ef0["num_iters"]
+    checkpoint_freq = ef0.get("checkpoint_freq") or num_iters
+    temps = np.asarray(ef0["_T"], dtype=float)
+    K = len(temps)
+    clock0 = perf_counter()
+
+    keys_E = []
+    for e, (ens, seed) in enumerate(zip(ensembles, seeds)):
+        ens.ensemble_fields["_rng_seed"] = seed
+        keys_E.append(jax.random.PRNGKey(seed % (2 ** 63)))
+    keys_E = jnp.stack(keys_E)
+
+    states_E = jnp.asarray(np.stack(
+        [ens.H.states[:, :, max(starting_iter - 1, 0)] for ens in ensembles]
+    ), dtype)
+
+    window = min(checkpoint_freq, num_iters)
+
+    def _build(esc_mode):
+        return build_mh_kernel(
+            like_plan, move_plan, temps, ef0["base_trial_move"],
+            ef0.get("temper_freq", 10), ef0["do_parallel_tempering"],
+            window=window, dtype=dtype, backend=backend, escalate=esc_mode)
+
+    base_kernel = _build("inline" if escalate == "inline" else "off")
+    kernel = vmap_ensembles(base_kernel)
+    safe_kernel = None  # built on first escalation (single-ensemble inline)
+
+    ll_E = kernel.init_ll(states_E)
+    if need_initial_state:
+        logger.info(f"Simulating initial state ({E} fused ensembles):")
+        ll_diag = np.asarray(jnp.take_along_axis(
+            ll_E, jnp.broadcast_to(jnp.arange(K)[None, :, None],
+                                   (E, K, 1)), axis=2))[:, :, 0]
+        for e, ens in enumerate(ensembles):
+            ens.H.loglikelihood[:, 0] = ll_diag[e]
+        starting_iter = 1
+
+    k = starting_iter
+    while k < num_iters:
+        n_this = min(window, num_iters - k)
+        logger.info(f"Simulating from {k} to {k + n_this} "
+                    f"({E} fused ensembles)")
+        t_win = perf_counter()
+        states_in, ll_in = states_E, ll_E
+        out = kernel.run_window(states_E, ll_E, jnp.asarray(k), keys_E)
+        states_E, ll_E, swap_att, swap_acc, nfail, hist = out
+        jax.block_until_ready(states_E)
+        nfail_h = np.asarray(nfail)
+        if nfail_h.any() and escalate is True:
+            # deferred escalation, per failing ensemble: re-run its window
+            # from the SAME entry state/key through the single-ensemble
+            # inline-retry kernel (bit-identical semantics — the vmapped
+            # kernel IS the single kernel per ensemble slice).
+            if safe_kernel is None:
+                safe_kernel = _build("inline")
+            fixes = {}
+            for e in np.nonzero(nfail_h)[0]:
+                logger.warning(
+                    f"Ensemble {e} window {k}-{k + n_this}: "
+                    f"{int(nfail_h[e])} diverged solves; re-running with "
+                    "inline solver escalation")
+                fixes[int(e)] = safe_kernel.run_window(
+                    states_in[e], ll_in[e], jnp.asarray(k), keys_E[e])
+            outs = [jax.tree.map(lambda a, e=e: a[e], out)
+                    for e in range(E)]
+            for e, fix in fixes.items():
+                if int(fix[4]):
+                    logger.warning(
+                        f"Ensemble {e}: {int(fix[4])} solves still "
+                        "diverged on the refined grid (rejected as -inf)")
+                outs[e] = fix
+            out = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
+            states_E, ll_E, swap_att, swap_acc, nfail, hist = out
+        dt_win = perf_counter() - t_win
+        logger.info(
+            f"Window of {n_this} iters x {E} ensembles took {dt_win:.3f} s "
+            f"({n_this * K * E / max(dt_win, 1e-9):.1f} "
+            "aggregate walker-steps/s)")
+        h_states, h_ll, h_accept = (np.asarray(h) for h in hist)
+        for e, ens in enumerate(ensembles):
+            H = ens.H
+            # scan emits `window` iterations; keep the first n_this
+            H.states[:, :, k:k + n_this] = (
+                h_states[e, :n_this].transpose(1, 2, 0))
+            H.loglikelihood[:, k:k + n_this] = h_ll[e, :n_this].T
+            H.accept[:, k:k + n_this] = h_accept[e, :n_this].T
+            H.swap_attempts += np.asarray(swap_att[e])
+            H.swap_accept += np.asarray(swap_acc[e])
+            ens.latest_iter = k + n_this
+        k += n_this
+        if k < num_iters:
+            logger.info(f"Saving checkpoints at k={k}")
+            for ens, ep in zip(ensembles, export_paths):
+                ens.checkpoint(os.path.join(
+                    ens.ensemble_fields["output_path"], ep))
+
+    logger.info(f"Total fused walk ({E} ensembles) took "
+                f"{perf_counter() - clock0} s")
+    for ens, ep in zip(ensembles, export_paths):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rate = (100 * ens.H.swap_accept[:-1]
+                    / np.maximum(ens.H.swap_attempts[:-1], 1))
+        logger.info(
+            f"Swap accept rate: {ens.H.swap_accept} accepted of "
+            f"{ens.H.swap_attempts} attempts ({rate} %)")
+        ens.checkpoint(os.path.join(
+            ens.ensemble_fields["output_path"], ep))
+    return ensembles
 
 
 def kill_from_cl(signal_n, frame):
@@ -341,7 +479,15 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
           export_path="", **kwargs):
     """Top-level MH inference entry point (reference metropolis.py:283
     signature). Builds plans from parsed config + data, runs the walk,
-    writes GUI-loadable checkpoints."""
+    writes GUI-loadable checkpoints.
+
+    kwargs['n_ensembles'] > 1 runs that many independent replicas of the
+    walk (reference multi-jobid semantics, main.py:36) fused through one
+    compiled kernel (:func:`run_mh_fused`) — the TPU aggregate-throughput
+    optimum. Each replica gets seed+e and its own `CPU{e}-final.pik`
+    checkpoint; returns the list of ensembles. Resuming a fused run from
+    checkpoints is not supported (start fresh or resume replicas
+    individually with n_ensembles=1)."""
     from metrotrpl_tpu.config.data_io import make_dir
     from metrotrpl_tpu.io.ensemble import Ensemble, load_checkpoint
     from metrotrpl_tpu.io.logging import start_logging, stop_logging
@@ -359,6 +505,11 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
 
     load_ckpt = MCMC_fields.get("load_checkpoint", None)
     num_iters = MCMC_fields["num_iters"]
+    n_ensembles = int(kwargs.get("n_ensembles", 1))
+    if n_ensembles > 1 and load_ckpt is not None:
+        raise ValueError(
+            "n_ensembles > 1 cannot resume from a checkpoint; rerun each "
+            "replica individually (n_ensembles=1, load_checkpoint=...)")
     starting_iter = 0
     if load_ckpt is None:
         ensemble = Ensemble(param_info, sim_info, MCMC_fields, num_iters,
@@ -435,6 +586,38 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
         dtype = (jnp.float64 if jax.default_backend() == "cpu"
                  and jax.config.jax_enable_x64 else jnp.float32)
     logger.info(f"Walk dtype: {np.dtype(dtype).name}")
+    backend_kw = kwargs.get("backend", "auto")
+    if n_ensembles > 1:
+        ensembles = [ensemble]
+        for _ in range(n_ensembles - 1):
+            ens_e = Ensemble(param_info, sim_info, MCMC_fields, num_iters,
+                             verbose)
+            ef_e = ens_e.ensemble_fields
+            ef_e["_init_params"] = iniPar
+            ef_e["_times"], ef_e["_vals"], ef_e["_uncs"] = e_data
+            ef_e["_IRF_tables"] = irf_tables
+            ensembles.append(ens_e)
+        seeds = kwargs.get("seeds") or [seed + e for e in
+                                        range(n_ensembles)]
+        try:
+            run_mh_fused(ensembles, like_plan, move_plan, logger,
+                         seeds=seeds, dtype=dtype,
+                         starting_iter=starting_iter,
+                         need_initial_state=need_initial_state,
+                         backend=backend_kw, escalate=escalate)
+        except KeyboardInterrupt:
+            logger.warning(
+                "Interrupted; truncating histories and writing final "
+                "checkpoints")
+            for e, ens in enumerate(ensembles):
+                ens.H.truncate(max(ens.latest_iter, 1))
+                ens.checkpoint(os.path.join(
+                    ens.ensemble_fields["output_path"],
+                    f"CPU{e}-final.pik"))
+            stop_logging(logger, handler, 1)
+            return ensembles
+        stop_logging(logger, handler, 0)
+        return ensembles
     try:
         run_mh(ensemble, like_plan, move_plan, logger, seed=seed,
                export_path=export_path, dtype=dtype,
@@ -442,7 +625,7 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
                starting_iter=starting_iter,
                need_initial_state=need_initial_state,
                profile_dir=kwargs.get("profile_dir"),
-               backend=kwargs.get("backend", "xla"),
+               backend=backend_kw,
                escalate=escalate)
     except KeyboardInterrupt:
         # clean termination: keep completed iterations, checkpoint, exit

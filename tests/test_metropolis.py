@@ -182,6 +182,38 @@ def test_vmap_ensembles_matches_individual_runs(tmp_path):
                                    np.asarray(out_e[1]), rtol=1e-12)
 
 
+def test_metro_n_ensembles_matches_separate_runs(tmp_path):
+    """metro(n_ensembles=2) (fused run_mh_fused driver) == two separate
+    metro runs with the same seeds, including History contents and
+    per-replica checkpoint files."""
+    n = 14
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+        tmp_path, num_iters=n, checkpoint_freq=7)
+    mcmc["output_path"] = str(tmp_path / "fused")
+    enss = metro(sim_info, iniPar, e_data, mcmc, pi, seed=99,
+                 n_ensembles=2)
+    assert len(enss) == 2
+    for e in range(2):
+        assert os.path.exists(
+            str(tmp_path / "fused" / f"CPU{e}-final.pik"))
+
+    for e, seed in enumerate((99, 100)):
+        sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+            tmp_path, num_iters=n, checkpoint_freq=7)
+        mcmc["output_path"] = str(tmp_path / f"solo{e}")
+        solo = metro(sim_info, iniPar, e_data, mcmc, pi,
+                     export_path="final.pik", seed=seed)
+        np.testing.assert_allclose(enss[e].H.states, solo.H.states,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(enss[e].H.loglikelihood,
+                                   solo.H.loglikelihood, rtol=1e-12)
+        np.testing.assert_array_equal(enss[e].H.accept, solo.H.accept)
+        np.testing.assert_array_equal(enss[e].H.swap_attempts,
+                                      solo.H.swap_attempts)
+    # the two replicas actually diverged (different RNG streams)
+    assert not np.array_equal(enss[0].H.states, enss[1].H.states)
+
+
 def test_run_ensembles_sequential_matches_vmap(tmp_path):
     """The VMEM-optimal sequential multi-ensemble schedule produces exactly
     the vmapped results (same keys -> same walks)."""
