@@ -16,4 +16,5 @@ from metrotrpl_tpu.solver.forward import (  # noqa: F401
     ForwardPlan,
     make_forward_plan,
     solve_forward_batch,
+    solve_single,
 )
