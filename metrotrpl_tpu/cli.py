@@ -38,17 +38,23 @@ def cmd_mcmc(args):
     (sim_info, param_info, _meas, MCMC_fields,
      iniPar, e_data) = _load_common(args.config)
     jobid = args.jobid
-    export_path = f"CPU{jobid}-final.pik"
-    # reference main.py:36 seeds with the jobid; our keyed-stream equivalent
-    seed = args.seed if args.seed is not None else (jobid or
-                                                    235817049752375780)
     n_ens = getattr(args, "ensembles", 1)
+    # reference main.py:36 seeds with the jobid; our keyed-stream
+    # equivalent. With --ensembles E, array task J covers replica jobids
+    # J*E .. J*E+E-1, so concurrent SLURM-array tasks sharing an
+    # output_path get disjoint RNG streams AND disjoint CPU{j}-final.pik
+    # filenames (no clobbering, no bit-identical duplicate walks).
+    jobids = [jobid * n_ens + e for e in range(n_ens)]
+    seeds = [args.seed + j - jobids[0] if args.seed is not None
+             else (j or 235817049752375780) for j in jobids]
+    export_path = f"CPU{jobids[0]}-final.pik"
     metro(sim_info, iniPar, e_data, MCMC_fields, param_info,
           verbose=args.verbose, export_path=export_path,
-          logger_name=f"Ensemble{jobid}", seed=seed,
+          logger_name=f"Ensemble{jobid}", seed=seeds[0], seeds=seeds,
+          export_paths=[f"CPU{j}-final.pik" for j in jobids],
           irf_dir=args.irf_dir, n_ensembles=n_ens)
     if n_ens > 1:
-        outs = ", ".join(f"CPU{e}-final.pik" for e in range(n_ens))
+        outs = ", ".join(f"CPU{j}-final.pik" for j in jobids)
         print(f"Done. Outputs in {MCMC_fields['output_path']}: {outs}")
     else:
         print(f"Done. Output: "

@@ -292,8 +292,8 @@ def _gather_or_one(states, idx):
     return jnp.where(idx >= 0, vals, jnp.ones_like(vals))
 
 
-def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16,
-                    eval_chunk=None, escalate="inline"):
+def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
+                    eval_chunk=None, escalate="inline", batch_mult=1):
     """Build the batched evaluation function.
 
     backend : "xla" (portable), "pallas" (fused TPU kernel), or "auto"
@@ -413,7 +413,7 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=16,
                     tile_g(jnp.asarray(fp_x.is_trpl)),
                     model=model, scheme=fp_x.scheme,
                     newton_iters=fp_x.newton_iters, backend=backend,
-                    block_b=block_b,
+                    block_b=block_b, batch_mult=batch_mult,
                     out_w=(None if fp_x.out_w is None
                            else tile_g(jnp.asarray(fp_x.out_w, dtype))),
                     refactor_every=fp_x.refactor_every,

@@ -44,8 +44,8 @@ class MHKernel(NamedTuple):
 
 def build_mh_kernel(like_plan, move_plan, temps, base_trial_move, temper_freq,
                     do_tempering, window, dtype=jnp.float64,
-                    shard_batch=None, backend="xla", block_b=16,
-                    escalate="off"):
+                    shard_batch=None, backend="xla", block_b=None,
+                    escalate="off", batch_mult=1):
     """Construct the compiled MH window function.
 
     temps : (K,) tempering temperatures (one chain per temperature).
@@ -65,7 +65,8 @@ def build_mh_kernel(like_plan, move_plan, temps, base_trial_move, temper_freq,
     base_move = jnp.asarray(base_trial_move, dtype)
     widths = jnp.sqrt(temps_j)[:, None] * base_move[None, :]  # (K, P)
     eval_logll = make_eval_logll(like_plan, dtype=dtype, backend=backend,
-                                 block_b=block_b, escalate=escalate)
+                                 block_b=block_b, escalate=escalate,
+                                 batch_mult=batch_mult)
     own = jnp.arange(K)
 
     def eval_states(states):
@@ -239,11 +240,15 @@ def run_mh_fused(ensembles, like_plan, move_plan, logger, seeds,
 
     window = min(checkpoint_freq, num_iters)
 
-    def _build(esc_mode):
+    def _build(esc_mode, mult=E):
+        # mult=E: the kernel is traced per-ensemble under vmap, but the
+        # device runs the E-fold fused batch — block_b must be chosen for
+        # the TOTAL batch (solve_forward_batch batch_mult).
         return build_mh_kernel(
             like_plan, move_plan, temps, ef0["base_trial_move"],
             ef0.get("temper_freq", 10), ef0["do_parallel_tempering"],
-            window=window, dtype=dtype, backend=backend, escalate=esc_mode)
+            window=window, dtype=dtype, backend=backend, escalate=esc_mode,
+            batch_mult=mult)
 
     base_kernel = _build("inline" if escalate == "inline" else "off")
     kernel = vmap_ensembles(base_kernel)
@@ -276,7 +281,10 @@ def run_mh_fused(ensembles, like_plan, move_plan, logger, seeds,
             # inline-retry kernel (bit-identical semantics — the vmapped
             # kernel IS the single kernel per ensemble slice).
             if safe_kernel is None:
-                safe_kernel = _build("inline")
+                # single-ensemble re-run kernel: block for ONE ensemble's
+                # batch (block_b never mixes rows, so results are
+                # independent of the choice)
+                safe_kernel = _build("inline", mult=1)
             fixes = {}
             for e in np.nonzero(nfail_h)[0]:
                 logger.warning(
@@ -317,6 +325,13 @@ def run_mh_fused(ensembles, like_plan, move_plan, logger, seeds,
             for ens, ep in zip(ensembles, export_paths):
                 ens.checkpoint(os.path.join(
                     ens.ensemble_fields["output_path"], ep))
+        if k % MSG_FREQ < window:
+            for e, ens in enumerate(ensembles):
+                for m in range(K):
+                    logger.info(
+                        f"Iter {k} ensemble {e} chain {m} state: "
+                        f"{ens.H.states[m, :, k - 1]} "
+                        f"logll {ens.H.loglikelihood[m, k - 1]}")
 
     logger.info(f"Total fused walk ({E} ensembles) took "
                 f"{perf_counter() - clock0} s")
@@ -588,6 +603,11 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
     logger.info(f"Walk dtype: {np.dtype(dtype).name}")
     backend_kw = kwargs.get("backend", "auto")
     if n_ensembles > 1:
+        for ignored in ("profile_dir", "shard_batch"):
+            if kwargs.get(ignored):
+                logger.warning(
+                    f"{ignored} is not supported with n_ensembles > 1 "
+                    "and will be ignored")
         ensembles = [ensemble]
         for _ in range(n_ensembles - 1):
             ens_e = Ensemble(param_info, sim_info, MCMC_fields, num_iters,
@@ -599,21 +619,23 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
             ensembles.append(ens_e)
         seeds = kwargs.get("seeds") or [seed + e for e in
                                         range(n_ensembles)]
+        export_paths = (kwargs.get("export_paths")
+                        or [f"CPU{e}-final.pik" for e in
+                            range(n_ensembles)])
         try:
             run_mh_fused(ensembles, like_plan, move_plan, logger,
-                         seeds=seeds, dtype=dtype,
-                         starting_iter=starting_iter,
+                         seeds=seeds, export_paths=export_paths,
+                         dtype=dtype, starting_iter=starting_iter,
                          need_initial_state=need_initial_state,
                          backend=backend_kw, escalate=escalate)
         except KeyboardInterrupt:
             logger.warning(
                 "Interrupted; truncating histories and writing final "
                 "checkpoints")
-            for e, ens in enumerate(ensembles):
+            for ens, ep in zip(ensembles, export_paths):
                 ens.H.truncate(max(ens.latest_iter, 1))
                 ens.checkpoint(os.path.join(
-                    ens.ensemble_fields["output_path"],
-                    f"CPU{e}-final.pik"))
+                    ens.ensemble_fields["output_path"], ep))
             stop_logging(logger, handler, 1)
             return ensembles
         stop_logging(logger, handler, 0)

@@ -264,17 +264,6 @@ def p_block_tridiag_jacobian(f, y):
     return as_t(Lc), as_t(Dc), as_t(Uc)
 
 
-def stack_blocks(A):
-    """Nested-tuple block matrix -> stacked (..., C, C, n) array."""
-    return jnp.stack([jnp.stack(row, axis=-2) for row in A], axis=-3)
-
-
-def unstack_blocks(A):
-    """Stacked (..., C, C, n) block matrix -> nested tuples of planes."""
-    C = A.shape[-3]
-    return tuple(tuple(A[..., i, j, :] for j in range(C)) for i in range(C))
-
-
 def block_tridiag_jacobian(f, y, ncomp):
     """Extract (L, D, U) block diagonals of J = df/dy via colored JVPs.
 

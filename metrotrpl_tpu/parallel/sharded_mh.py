@@ -67,7 +67,7 @@ class ShardedMHKernel(NamedTuple):
 def build_sharded_mh_kernel(like_plan, move_plan, temps, base_trial_move,
                             temper_freq, do_tempering, window, mesh,
                             n_ens=1, dtype=jnp.float32, backend="xla",
-                            block_b=16, eval_chunk=None, escalate="off"):
+                            block_b=None, eval_chunk=None, escalate="off"):
     """Compile the MH window as one shard_map program over ``mesh``.
 
     mesh : 2D Mesh with axis names ("ens", "chains"); n_ens must divide

@@ -194,8 +194,9 @@ def _interp_knots(obs, out_idx, w):
 
 def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
                         model="std", scheme="sdirk3", newton_iters=2,
-                        min_y=None, backend="xla", block_b=16, out_w=None,
-                        refactor_every=1, n_ramp=None, layout="auto"):
+                        min_y=None, backend="xla", block_b=None, out_w=None,
+                        refactor_every=1, n_ramp=None, layout="auto",
+                        batch_mult=1):
     """Run a batch of forward simulations and return linear observables in
     measurement units (TRPL [cm^-2 s^-1] / TRTS, selected per row).
 
@@ -221,21 +222,26 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
     backend="auto" = the fused Pallas kernel on TPU (fastest at every
     measured batch size since the plane-tuple/antisymmetric-split rework),
     the XLA op-graph elsewhere (docs/TPU_NOTES.md perf table).
+
+    block_b : Pallas batch-block rows. None (default) = pick by measured
+    optimum: 48 once the effective batch exceeds one 48-block, else 16
+    (the threshold is on the PRE-padding size so e.g. B=90 pads to 96 and
+    runs the fast 96/b48 schedule, never the anomalously slow 96/b16 one
+    — docs/TPU_NOTES.md). An explicit value is always respected.
+    batch_mult : effective-batch multiplier for the block_b choice when
+    this call is traced per-slice under vmap (e.g. vmap_ensembles traces
+    the per-ensemble batch; the device runs E of them fused).
     """
     if backend == "auto":
-        # The fused kernel only lowers on TPU; CPU always takes the op-graph.
-        # Since the plane-tuple + antisymmetric-split rework the fused kernel
-        # is the fastest TPU path at EVERY batch size (sweep_r2_final:
-        # B=48 3314 vs 2942 solves/s, B=96 5400 vs 483, B=192 7346 vs 949),
-        # so auto = pallas whenever we are on TPU. block_b=48 is the
-        # measured optimum for B>=96; 16 below (less padding waste, and the
-        # B=96/b16 grid schedule is anomalously slow — docs/TPU_NOTES.md).
+        # The fused kernel only lowers on TPU; CPU always takes the
+        # op-graph. Since the plane-tuple + antisymmetric-split rework the
+        # fused kernel is the fastest TPU path at EVERY batch size
+        # (sweep_r2_final: B=48 3314 vs 2942 solves/s, B=96 5400 vs 483,
+        # B=192 7346 vs 949), so auto = pallas whenever we are on TPU.
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        if on_tpu:
-            backend = "pallas"
-            block_b = 48 if init_dN.shape[0] >= 96 else 16
-        else:
-            backend = "xla"
+        backend = "pallas" if on_tpu else "xla"
+    if block_b is None:
+        block_b = 48 if init_dN.shape[0] * batch_mult > 48 else 16
     # Pad the batch to a multiple of the float32 sublane count. This keeps
     # every (B, nx) plane tile-aligned AND works around an observed TPU
     # (axon/Mosaic) miscompile where sublane-padded batches (e.g. B=6)

@@ -31,6 +31,7 @@ from metrotrpl_tpu.ops.blocktridiag import (
     p_inv_small,
     p_mm,
     p_mv,
+    p_neg,
     p_shift_m,
     p_shift_v,
 )
@@ -115,13 +116,12 @@ def pcr_factor(L, D, U):
     n_levels = int(math.ceil(math.log2(n))) if n > 1 else 0
     alphas, betas = [], []
     s = 1
-    neg = lambda A: tuple(tuple(-a for a in row) for row in A)
     add = lambda A, B: tuple(tuple(a + b for a, b in zip(ra, rb))
                              for ra, rb in zip(A, B))
     for _ in range(n_levels):
         Dinv = p_inv_small(D)
-        alpha = neg(p_mm(L, p_shift_m(Dinv, s)))
-        beta = neg(p_mm(U, p_shift_m(Dinv, -s)))
+        alpha = p_neg(p_mm(L, p_shift_m(Dinv, s)))
+        beta = p_neg(p_mm(U, p_shift_m(Dinv, -s)))
         alphas.append(alpha)
         betas.append(beta)
         L, D, U = (

@@ -130,6 +130,41 @@ def test_cli_mcmc_roundtrip(tmp_path, monkeypatch):
     assert np.isfinite(ens.H.loglikelihood).all()
 
 
+def test_cli_mcmc_ensembles_jobid_mapping(tmp_path):
+    """--ensembles E under array task J writes CPU{J*E..J*E+E-1}-final.pik
+    with distinct RNG streams (no clobbering between SLURM array tasks
+    sharing an output_path, no duplicate walks within a task)."""
+    from metrotrpl_tpu.cli import main
+    from metrotrpl_tpu.config import generate_config_script_file
+    from metrotrpl_tpu.io.ensemble import load_checkpoint
+
+    sim_info, pi, flags, e_data, iniPar = _tiny_problem(tmp_path)
+    t, v, u = e_data
+    rows = np.stack([t[0], 10 ** v[0], 10 ** v[0] * 0.02], axis=1)
+    np.savetxt(str(tmp_path / "data.csv"), rows, delimiter=",")
+    np.savetxt(str(tmp_path / "ic.csv"), iniPar, delimiter=",")
+    flags = dict(flags)
+    flags.update({
+        "init_cond_path": str(tmp_path / "ic.csv"),
+        "measurement_path": str(tmp_path / "data.csv"),
+        "num_iters": 6, "checkpoint_freq": 6,
+        "irf_convolution": None, "force_min_y": 0,
+    })
+    meas = {"time_cutoff": [0, 500], "select_obs_sets": None}
+    cfg = str(tmp_path / "cfg.txt")
+    generate_config_script_file(cfg, sim_info | {"nx": [24]},
+                                pi, meas, flags)
+    main(["mcmc", cfg, "--jobid", "3", "--ensembles", "2", "--seed", "5"])
+    # array task 3 with E=2 owns replica jobids 6 and 7
+    outs = [str(tmp_path / "out" / f"CPU{j}-final.pik") for j in (6, 7)]
+    for p in outs:
+        assert os.path.exists(p), p
+    assert not os.path.exists(str(tmp_path / "out" / "CPU0-final.pik"))
+    e6, e7 = (load_checkpoint(p) for p in outs)
+    # distinct seeds (5 and 6) -> distinct walks
+    assert not np.array_equal(e6.H.states, e7.H.states)
+
+
 def test_surrogate_multiexp_and_roundtrip(tmp_path):
     t = np.linspace(0, 10, 50)
     args = jnp.asarray([-0.5, -0.1, 2.0, 3.0])  # rates then coefs
