@@ -32,12 +32,34 @@ def _load_common(script_path):
     return sim_info, param_info, meas_flags, MCMC_fields, iniPar, e_data
 
 
+def _resolve_jobid(args):
+    """Reference main.py:18-24: when no explicit --jobid is given, fall
+    back to the SLURM array task id (0 outside SLURM)."""
+    if args.jobid is not None:
+        return args.jobid
+    try:
+        return int(os.environ["SLURM_ARRAY_TASK_ID"])
+    except (KeyError, ValueError):
+        return 0
+
+
+def _resolve_config(path, jobid):
+    """Reference main.py:27 semantics: the config argument may be a script
+    HEADER, resolved as ``{header}{jobid}.txt`` (the MCMC_script_writer
+    per-array-task convention). An existing literal path always wins."""
+    if not os.path.exists(path):
+        cand = f"{path}{jobid}.txt"
+        if os.path.exists(cand):
+            return cand
+    return path
+
+
 def cmd_mcmc(args):
     from metrotrpl_tpu.inference import metro
 
+    jobid = _resolve_jobid(args)
     (sim_info, param_info, _meas, MCMC_fields,
-     iniPar, e_data) = _load_common(args.config)
-    jobid = args.jobid
+     iniPar, e_data) = _load_common(_resolve_config(args.config, jobid))
     n_ens = getattr(args, "ensembles", 1)
     # reference main.py:36 seeds with the jobid; our keyed-stream
     # equivalent. With --ensembles E, array task J covers replica jobids
@@ -66,10 +88,11 @@ def cmd_dense(args):
     from metrotrpl_tpu.io.logging import start_logging, stop_logging
     from metrotrpl_tpu.ops.convolve import make_I_tables
 
+    jobid = _resolve_jobid(args)
     (sim_info, param_info, _meas, MCMC_fields,
-     iniPar, e_data) = _load_common(args.config)
+     iniPar, e_data) = _load_common(_resolve_config(args.config, jobid))
     logger, handler = start_logging(
-        log_dir=MCMC_fields["output_path"], name=f"Dense{args.jobid}",
+        log_dir=MCMC_fields["output_path"], name=f"Dense{jobid}",
         verbose=args.verbose)
     if MCMC_fields.get("irf_convolution", None) is not None:
         irfs = {}
@@ -80,8 +103,8 @@ def cmd_dense(args):
                     delimiter=",")
         MCMC_fields["_IRF_tables"] = make_I_tables(irfs)
     N, P, X = bayes(None, None, iniPar, sim_info, e_data, MCMC_fields,
-                    param_info, logger=logger, seed=args.jobid)
-    out = os.path.join(MCMC_fields["output_path"], f"CPU{args.jobid}")
+                    param_info, logger=logger, seed=jobid)
+    out = os.path.join(MCMC_fields["output_path"], f"CPU{jobid}")
     export(out, P, X, logger=logger)
     stop_logging(logger, handler)
     print(f"Done. Output: {out}_P.npy / {out}_X.npy")
@@ -92,10 +115,11 @@ def cmd_mle(args):
     from metrotrpl_tpu.io.logging import start_logging, stop_logging
     from metrotrpl_tpu.ops.convolve import make_I_tables
 
+    jobid = _resolve_jobid(args)
     (sim_info, param_info, _meas, MCMC_fields,
-     iniPar, e_data) = _load_common(args.config)
+     iniPar, e_data) = _load_common(_resolve_config(args.config, jobid))
     logger, handler = start_logging(
-        log_dir=MCMC_fields["output_path"], name=f"MLE{args.jobid}",
+        log_dir=MCMC_fields["output_path"], name=f"MLE{jobid}",
         verbose=args.verbose)
     if MCMC_fields.get("irf_convolution", None) is not None:
         irfs = {}
@@ -106,9 +130,18 @@ def cmd_mle(args):
                     delimiter=",")
         MCMC_fields["_IRF_tables"] = make_I_tables(irfs)
     mle(e_data, sim_info, param_info, iniPar, MCMC_fields,
-        f"MLE{args.jobid}-final.pik", logger, maxiter=args.maxiter)
+        f"MLE{jobid}-final.pik", logger, maxiter=args.maxiter)
     stop_logging(logger, handler)
     print("Done.")
+
+
+def _resolve_out(args):
+    """Reference MCMC_script_writer.py:41: an ``out`` argument without a
+    .txt suffix is a script header; the file written is
+    ``{header}{jobid}.txt`` (one config per SLURM array task)."""
+    if args.out.endswith(".txt"):
+        return args.out
+    return f"{args.out}{_resolve_jobid(args)}.txt"
 
 
 def cmd_write_example(args):
@@ -116,6 +149,7 @@ def cmd_write_example(args):
     MCMC_script_writer.py:46-156 settings)."""
     from metrotrpl_tpu.config import generate_config_script_file
 
+    args.out = _resolve_out(args)
     names = ["n0", "p0", "mu_n", "mu_p", "ks", "Cn", "Cp", "Sf", "Sb",
              "tauN", "tauP", "eps", "Tm"]
     simPar = {"lengths": [311, 2000, 311, 2000, 311, 2000],
@@ -213,6 +247,7 @@ def cmd_write_pa_example(args):
     1D multi-well potential, tempering ladder [0.05, 0.3, 2])."""
     from metrotrpl_tpu.config import generate_config_script_file
 
+    args.out = _resolve_out(args)
     simPar = {"lengths": [1], "nx": [1], "meas_types": ["pa"],
               "num_meas": 1}
     param_info = {
@@ -266,8 +301,12 @@ def main(argv=None):
     for name, fn in (("mcmc", cmd_mcmc), ("dense", cmd_dense),
                      ("mle", cmd_mle)):
         sp = sub.add_parser(name)
-        sp.add_argument("config", help="MCMC config script path")
-        sp.add_argument("--jobid", type=int, default=0)
+        sp.add_argument("config",
+                        help="MCMC config script path, or a script header "
+                             "resolved as {header}{jobid}.txt (reference "
+                             "SLURM-array convention)")
+        sp.add_argument("--jobid", type=int, default=None,
+                        help="defaults to $SLURM_ARRAY_TASK_ID, else 0")
         sp.add_argument("--seed", type=int, default=None)
         sp.add_argument("--verbose", action="store_true")
         sp.add_argument("--irf-dir", default="IRFs")
@@ -284,7 +323,11 @@ def main(argv=None):
     for name, fn, iters in (("write-example", cmd_write_example, 100),
                             ("write-pa-example", cmd_write_pa_example, 5000)):
         sp = sub.add_parser(name)
-        sp.add_argument("out")
+        sp.add_argument("out",
+                        help="config path (*.txt), or a script header "
+                             "written as {header}{jobid}.txt")
+        sp.add_argument("--jobid", type=int, default=None,
+                        help="defaults to $SLURM_ARRAY_TASK_ID, else 0")
         sp.add_argument("--num-iters", type=int, default=iters)
         sp.add_argument("--init-cond", default=None)
         sp.add_argument("--measurement", default=None)

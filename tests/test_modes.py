@@ -165,6 +165,28 @@ def test_cli_mcmc_ensembles_jobid_mapping(tmp_path):
     assert not np.array_equal(e6.H.states, e7.H.states)
 
 
+def test_cli_slurm_header_conventions(tmp_path, monkeypatch):
+    """Reference SLURM-array workflow: MCMC_script_writer.py [ID] [header]
+    writes {header}{ID}.txt (writer :41), and main.py [header] resolves
+    the config as {header}{SLURM_ARRAY_TASK_ID}.txt (main.py:18-27)."""
+    from metrotrpl_tpu.cli import _resolve_config, main
+
+    monkeypatch.setenv("SLURM_ARRAY_TASK_ID", "4")
+    monkeypatch.chdir(tmp_path)
+    head = str(tmp_path / "mcmc")
+    main(["write-pa-example", head, "--num-iters", "10"])
+    assert os.path.exists(f"{head}4.txt")
+    # explicit --jobid beats the environment
+    main(["write-pa-example", head, "--num-iters", "10", "--jobid", "9"])
+    assert os.path.exists(f"{head}9.txt")
+    # config-header resolution (reference main.py:27)
+    assert _resolve_config(head, 4) == f"{head}4.txt"
+    # an existing literal path always wins
+    assert _resolve_config(f"{head}9.txt", 4) == f"{head}9.txt"
+    # missing header+jobid combination falls through untouched
+    assert _resolve_config(head, 7) == head
+
+
 def test_surrogate_multiexp_and_roundtrip(tmp_path):
     t = np.linspace(0, 10, 50)
     args = jnp.asarray([-0.5, -0.1, 2.0, 3.0])  # rates then coefs
