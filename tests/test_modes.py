@@ -187,6 +187,33 @@ def test_cli_slurm_header_conventions(tmp_path, monkeypatch):
     assert _resolve_config(head, 7) == head
 
 
+def test_metro_sdirk_fast_mode(tmp_path):
+    """`Solver name: sdirk` selects the decoupled fast step grid
+    (hmax default 16, log-space output interpolation) inside metro();
+    the walk's likelihoods match the reference-semantics solveivp mode
+    far within data-uncertainty significance."""
+    from metrotrpl_tpu.inference import metro
+
+    lls = {}
+    for solver in ("solveivp", "sdirk"):
+        sim_info, pi, flags, e_data, iniPar = _tiny_problem(tmp_path)
+        flags = dict(flags)
+        flags["solver"] = (solver,)
+        flags["num_iters"] = 4
+        flags["checkpoint_freq"] = 4
+        flags["output_path"] = str(tmp_path / f"out_{solver}")
+        if solver == "sdirk":
+            del flags["hmax"]  # exercise the fast-mode default (16)
+        ens = metro(sim_info, iniPar, e_data, flags, pi, seed=17,
+                    export_path=f"{solver}-final.pik")
+        lls[solver] = np.asarray(ens.H.loglikelihood)
+        assert np.isfinite(lls[solver]).all()
+    # same seed -> same proposals; nearly identical likelihood surfaces
+    # -> identical accept decisions and matching trajectories
+    np.testing.assert_allclose(lls["sdirk"], lls["solveivp"],
+                               rtol=2e-3, atol=0.05)
+
+
 def test_surrogate_multiexp_and_roundtrip(tmp_path):
     t = np.linspace(0, 10, 50)
     args = jnp.asarray([-0.5, -0.1, 2.0, 3.0])  # rates then coefs
