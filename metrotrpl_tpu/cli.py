@@ -191,7 +191,12 @@ def cmd_write_example(args):
         "output_path": args.output or os.path.join("bay_outputs", "run0"),
         "ini_mode": "fluence",
         "num_iters": args.num_iters,
-        "solver": ("solveivp",),
+        # --fast: the TPU-native fast integration mode at the hmax
+        # validated for this workload (accuracy scripts/probe_r3_cheap.py,
+        # posterior docs/POSTERIOR_r03_h48.md); default keeps the
+        # reference writer's solver choice verbatim
+        **({"solver": ("sdirk",), "hmax": 48.0}
+           if getattr(args, "fast", False) else {"solver": ("solveivp",)}),
         "model": "std",
         "model_uncertainty": 1,
         "log_y": 1,
@@ -329,6 +334,12 @@ def main(argv=None):
         sp.add_argument("--jobid", type=int, default=None,
                         help="defaults to $SLURM_ARRAY_TASK_ID, else 0")
         sp.add_argument("--num-iters", type=int, default=iters)
+        if name == "write-example":
+            sp.add_argument(
+                "--fast", action="store_true",
+                help="write the TPU-native fast solver config "
+                     "(Solver name: sdirk, hmax 48 — the headline-"
+                     "benchmark mode) instead of reference solveivp")
         sp.add_argument("--init-cond", default=None)
         sp.add_argument("--measurement", default=None)
         sp.add_argument("--output", default=None)

@@ -15,6 +15,9 @@ both samplers and the truth. Agreement within the posterior sigmas is the
 acceptance contract from BASELINE.json.
 
 Usage: python scripts/posterior_compare.py [n_iters_oracle] [n_iters_tpu]
+           [hmax] [outname]
+hmax parameterizes the tpu fast mode (default 16); outname the report
+file under docs/ (default POSTERIOR_r02.md).
 """
 
 import os
@@ -115,7 +118,7 @@ def run_oracle_mh(t, vals, n_iters):
     return samples, n_acc / n_iters
 
 
-def run_tpu_mh(t, vals, n_iters, n_chains=8):
+def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0):
     import jax
     import jax.numpy as jnp
 
@@ -139,7 +142,7 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8):
     iniPar = np.array([[2.12e11, 6e4, 1]] * 2)
     e_data = ([t] * 2, vals, [np.full(NT, UNC)] * 2)
     plan = build_likelihood_plan(sim_info, param_info, mcmc, e_data, iniPar,
-                                 hmax=16.0, align_outputs=False)
+                                 hmax=hmax, align_outputs=False)
     mp = build_move_plan(param_info, mcmc)
     base_move = np.array([WIDTH if n in ACTIVE else 0.0 for n in NAMES])
     temps = np.ones(n_chains)
@@ -175,16 +178,18 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8):
 def main():
     n_oracle = int(sys.argv[1]) if len(sys.argv) > 1 else 2500
     n_tpu = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    hmax = float(sys.argv[3]) if len(sys.argv) > 3 else 16.0
+    outname = sys.argv[4] if len(sys.argv) > 4 else "POSTERIOR_r02.md"
     t, vals = make_dataset()
     print("running tpu MH...", flush=True)
-    tpu_samples, tpu_acc = run_tpu_mh(t, vals, n_tpu)
+    tpu_samples, tpu_acc = run_tpu_mh(t, vals, n_tpu, hmax=hmax)
     print("running oracle MH...", flush=True)
     oracle_samples, oracle_acc = run_oracle_mh(t, vals, n_oracle)
 
     burn_o = n_oracle // 3
     burn_t = n_tpu // 3
     lines = [
-        "# Posterior agreement — round 2",
+        f"# Posterior agreement — {os.path.splitext(outname)[0]}",
         "",
         "Cross-implementation posterior comparison on a shared noisy",
         f"synthetic dataset (2 TRPL curves, nx={NX}, nt={NT}, "
@@ -198,7 +203,8 @@ def main():
         f"burn-in {burn_o},",
         f"  acceptance {oracle_acc:.2f}.",
         "* **tpu MH** — this framework's compiled kernel (fast solver",
-        f"  mode), 8 untempered chains x {n_tpu} iterations, burn-in "
+        f"  mode, hmax={hmax:g}), 8 untempered chains x {n_tpu} "
+        f"iterations, burn-in "
         f"{burn_t},",
         f"  acceptance {tpu_acc:.2f}.",
         "",
@@ -227,10 +233,10 @@ def main():
         + (" (PASS, z < 1)." if worst < 1 else " threshold EXCEEDED."),
         "",
         "Reproduce: `python scripts/posterior_compare.py "
-        f"{n_oracle} {n_tpu}`.",
+        f"{n_oracle} {n_tpu} {hmax:g} {outname}`.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs", "POSTERIOR_r02.md")
+        os.path.abspath(__file__))), "docs", outname)
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}; worst z = {worst:.2f}")

@@ -187,6 +187,30 @@ def test_cli_slurm_header_conventions(tmp_path, monkeypatch):
     assert _resolve_config(head, 7) == head
 
 
+def test_cli_write_example_fast_flag(tmp_path, monkeypatch):
+    """write-example --fast emits the validated TPU fast solver config
+    (Solver name: sdirk, hmax 48) and it round-trips the text format."""
+    from metrotrpl_tpu.cli import main
+    from metrotrpl_tpu.config import read_config_script_file
+
+    monkeypatch.chdir(tmp_path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ini = os.path.join(repo, "Inputs",
+                       "staub_MAPI_threepower_twothick_fluences.csv")
+    meas = os.path.join(repo, "Inputs", "real_staub_aug_corr_renoised.csv")
+    main(["write-example", "fast_cfg.txt", "--fast",
+          "--init-cond", ini, "--measurement", meas])
+    _si, _pi, _mf, mc = read_config_script_file("fast_cfg.txt")
+    assert mc["solver"] == ("sdirk",)
+    assert mc["hmax"] == 48.0
+    # without --fast the reference writer's solver choice is preserved
+    main(["write-example", "ref_cfg.txt",
+          "--init-cond", ini, "--measurement", meas])
+    _si, _pi, _mf, mc_ref = read_config_script_file("ref_cfg.txt")
+    assert mc_ref["solver"] == ("solveivp",)
+    assert "hmax" not in mc_ref
+
+
 def test_metro_sdirk_fast_mode(tmp_path):
     """`Solver name: sdirk` selects the decoupled fast step grid
     (hmax default 16, log-space output interpolation) inside metro();
