@@ -58,7 +58,8 @@ class TestSecondaryParameters:
         p = {"tauN": 450.0, "tauP": 500.0, "Sf": np.zeros(1), "Sb": 0,
              "thickness": 1, "mu_n": np.zeros(1), "mu_p": np.zeros(1)}
         with np.errstate(divide="ignore", invalid="ignore"):
-            assert float(hi_tau_srh(p)) == pytest.approx(950)
+            assert np.asarray(hi_tau_srh(p)).reshape(-1)[0] == \
+                pytest.approx(950)
         p = {"tauN": np.full(1, np.inf), "tauP": np.full(1, np.inf),
              "Sf": np.ones(1), "Sb": 0, "thickness": 1,
              "mu_n": np.full(1, np.inf), "mu_p": np.full(1, np.inf)}
