@@ -78,10 +78,14 @@ def bayes(N, P, init_params, sim_params, e_data, sim_flags, param_info,
         else:
             flags["model_uncertainty"] = base * l2v
 
+    # `Solver name: sdirk` = the TPU-native fast mode, as in metro()
+    # (decoupled step grid + log-space output interpolation)
+    fast = (flags.get("solver") or ("solveivp",))[0] == "sdirk"
     plan = build_likelihood_plan(
         sim_params, param_info, flags, e_data, init_params,
         irf_tables=flags.get("_IRF_tables"),
-        hmax=flags.get("hmax", 1.0))
+        hmax=flags.get("hmax", 16.0 if fast else 1.0),
+        align_outputs=not fast)
     import jax
     # auto backend: dense chunks are far past the VMEM spill cliff, where
     # the fused Pallas kernel holds ~3300 solves/s vs the op-graph's ~700

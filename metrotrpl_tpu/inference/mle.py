@@ -33,10 +33,13 @@ def mle(e_data, sim_params, param_info, init_params, sim_flags, export_path,
         else:
             flags["model_uncertainty"] = base * l2v
 
+    # `Solver name: sdirk` = the TPU-native fast mode, as in metro()
+    fast = (flags.get("solver") or ("solveivp",))[0] == "sdirk"
     plan = build_likelihood_plan(
         sim_params, param_info, flags, e_data, init_params,
         irf_tables=flags.get("_IRF_tables"),
-        hmax=flags.get("hmax", 1.0))
+        hmax=flags.get("hmax", 16.0 if fast else 1.0),
+        align_outputs=not fast)
     import jax
     ev = jax.jit(make_eval_logll(plan, dtype=dtype))
     temps = jnp.asarray([1.0], dtype)

@@ -86,6 +86,21 @@ def test_dense_sampler_favors_truth(tmp_path):
     assert os.path.exists(str(tmp_path / "run" / "cpu0_P.npy"))
 
 
+def test_dense_sampler_sdirk_fast_mode_matches(tmp_path):
+    """Dense sampler honors `Solver name: sdirk` (decoupled fast grid)
+    and its likelihood map matches the reference-semantics mode."""
+    sim_info, pi, flags, e_data, iniPar = _tiny_problem(tmp_path)
+    _, P_ref, X_ref = bayes(None, None, iniPar, sim_info, e_data,
+                            dict(flags), pi, seed=3, dtype=jnp.float64)
+    flags_f = dict(flags)
+    flags_f["solver"] = ("sdirk",)
+    del flags_f["hmax"]  # exercise the fast-mode default (16)
+    _, P_fast, X_fast = bayes(None, None, iniPar, sim_info, e_data,
+                              flags_f, pi, seed=3, dtype=jnp.float64)
+    np.testing.assert_array_equal(X_ref, X_fast)  # same sampled grid
+    np.testing.assert_allclose(P_fast, P_ref, rtol=2e-3, atol=0.05)
+
+
 def test_mle_converges_toward_truth(tmp_path):
     sim_info, pi, flags, e_data, iniPar = _tiny_problem(tmp_path)
     pi["init_guess"] = dict(TRUE, p0=1.5e15, tauN=400)
