@@ -12,7 +12,11 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from metrotrpl_tpu.inference.likelihood import build_likelihood_plan, make_eval_logll
+from metrotrpl_tpu.inference.likelihood import (
+    build_likelihood_plan,
+    make_eval_logll,
+    resolve_solver_mode,
+)
 
 
 def random_grid(min_x, max_x, do_log, num_samples, rng):
@@ -78,14 +82,13 @@ def bayes(N, P, init_params, sim_params, e_data, sim_flags, param_info,
         else:
             flags["model_uncertainty"] = base * l2v
 
-    # `Solver name: sdirk` = the TPU-native fast mode, as in metro()
-    # (decoupled step grid + log-space output interpolation)
-    fast = (flags.get("solver") or ("solveivp",))[0] == "sdirk"
+    # shared `Solver name: sdirk` fast-mode policy (resolve_solver_mode);
+    # 1.0 = the reference dense sampler's hard-coded Grid hmax
+    hm, align = resolve_solver_mode(flags, 1.0)
     plan = build_likelihood_plan(
         sim_params, param_info, flags, e_data, init_params,
         irf_tables=flags.get("_IRF_tables"),
-        hmax=flags.get("hmax", 16.0 if fast else 1.0),
-        align_outputs=not fast)
+        hmax=hm, align_outputs=align)
     import jax
     # auto backend: dense chunks are far past the VMEM spill cliff, where
     # the fused Pallas kernel holds ~3300 solves/s vs the op-graph's ~700

@@ -98,6 +98,28 @@ def _fittable_index_map(spec, n_meas, param_idx, base):
     return out
 
 
+def resolve_solver_mode(MCMC_fields, default_hmax, hmax=None,
+                        align_outputs=None):
+    """Shared `Solver name: sdirk` fast-mode policy for every inference
+    mode (metro / dense sampler / MLE). Returns (hmax, align_outputs).
+
+    sdirk = the TPU-native fast integration mode: solver steps decouple
+    from the output times (log-space observable interpolation) and hmax
+    bounds the step directly, defaulting to the validated 16. Any other
+    solver name (solveivp/odeint) keeps reference semantics: output-
+    aligned steps at the caller's reference-parity default — metro 4.0
+    (reference sim_utils.py DEFAULT_HMAX), dense/MLE 1.0 (hard-coded
+    Grid hmax=1 at Dense_Sample/dense_sampling.py:117,
+    MLE/max_likelihood.py:39). Explicit caller values always win.
+    """
+    fast = (MCMC_fields.get("solver") or ("solveivp",))[0] == "sdirk"
+    if align_outputs is None:
+        align_outputs = not fast
+    if hmax is None:
+        hmax = MCMC_fields.get("hmax", 16.0 if fast else default_hmax)
+    return hmax, align_outputs
+
+
 def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
                           irf_tables=None, hmax=None, scheme="sdirk3",
                           newton_iters=2, refine=1, escalate=True,

@@ -28,7 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from metrotrpl_tpu.constants import MSG_FREQ
-from metrotrpl_tpu.inference.likelihood import build_likelihood_plan, make_eval_logll
+from metrotrpl_tpu.inference.likelihood import (
+    build_likelihood_plan,
+    make_eval_logll,
+    resolve_solver_mode,
+)
 from metrotrpl_tpu.inference.moves import build_move_plan, make_trial_move
 
 
@@ -582,21 +586,11 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
             MCMC_fields.get("rtol"), MCMC_fields.get("atol"),
             n_steps=n_steps_est, logger=logger)
     escalate = kwargs.get("escalate", True)
-    # `Solver name: sdirk` selects the TPU-native fast integration mode
-    # (the headline-benchmark configuration): the solver step grid is
-    # decoupled from the output times (log-space interpolation of the
-    # observables — exact for exponential decay segments) and hmax bounds
-    # the step directly, defaulting to the validated 16 ns instead of the
-    # reference's output-aligned 4 ns (accuracy vs the float64 LSODA
-    # oracle ~1e-5..2e-4 in log10 PL; docs/TPU_NOTES.md round-2 table).
-    # The reference solver names (solveivp/odeint) keep reference
-    # semantics: knot-aligned steps, config hmax, default 4.
-    solver_name = (MCMC_fields.get("solver") or ("solveivp",))[0]
-    fast_mode = solver_name == "sdirk"
-    align_outputs = kwargs.get("align_outputs", not fast_mode)
-    hmax_kw = kwargs.get("hmax")
-    if hmax_kw is None and fast_mode:
-        hmax_kw = MCMC_fields.get("hmax", 16.0)
+    # shared `Solver name: sdirk` fast-mode policy (resolve_solver_mode
+    # docstring; accuracy/validation: docs/TPU_NOTES.md round-3 table)
+    hmax_kw, align_outputs = resolve_solver_mode(
+        MCMC_fields, 4.0, kwargs.get("hmax"), kwargs.get("align_outputs"))
+    if not align_outputs:
         logger.info(f"sdirk fast mode: decoupled step grid, hmax={hmax_kw}")
     like_plan = build_likelihood_plan(
         sim_info, param_info, mcmc_for_plan, e_data, iniPar,

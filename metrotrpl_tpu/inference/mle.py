@@ -12,7 +12,11 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.optimize import minimize
 
-from metrotrpl_tpu.inference.likelihood import build_likelihood_plan, make_eval_logll
+from metrotrpl_tpu.inference.likelihood import (
+    build_likelihood_plan,
+    make_eval_logll,
+    resolve_solver_mode,
+)
 from metrotrpl_tpu.io.ensemble import Ensemble
 
 DEFAULT_NUM_ITERS = 1000
@@ -33,13 +37,13 @@ def mle(e_data, sim_params, param_info, init_params, sim_flags, export_path,
         else:
             flags["model_uncertainty"] = base * l2v
 
-    # `Solver name: sdirk` = the TPU-native fast mode, as in metro()
-    fast = (flags.get("solver") or ("solveivp",))[0] == "sdirk"
+    # shared `Solver name: sdirk` fast-mode policy (resolve_solver_mode);
+    # 1.0 = the reference MLE's hard-coded Grid hmax
+    hm, align = resolve_solver_mode(flags, 1.0)
     plan = build_likelihood_plan(
         sim_params, param_info, flags, e_data, init_params,
         irf_tables=flags.get("_IRF_tables"),
-        hmax=flags.get("hmax", 16.0 if fast else 1.0),
-        align_outputs=not fast)
+        hmax=hm, align_outputs=align)
     import jax
     ev = jax.jit(make_eval_logll(plan, dtype=dtype))
     temps = jnp.asarray([1.0], dtype)

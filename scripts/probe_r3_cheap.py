@@ -56,8 +56,10 @@ def lls_at_chain(ev, states, temps):
         shift = 1.0 + 1e-3 * np.tanh(ll) * (1 + 0.1 * i)
         states = states * shift
         out = ev(states, temps)
-    dt = (time.perf_counter() - t0) / N_STATES
+    # read the LAST eval back inside the timed window, else the timer
+    # covers only N_STATES-1 completions and under-reports ~1/N_STATES
     lls.append(float(np.asarray(out["logll_T"])[0, 0]))
+    dt = (time.perf_counter() - t0) / N_STATES
     return np.array(lls), dt
 
 

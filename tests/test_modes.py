@@ -228,29 +228,52 @@ def test_cli_write_example_fast_flag(tmp_path, monkeypatch):
 
 def test_metro_sdirk_fast_mode(tmp_path):
     """`Solver name: sdirk` selects the decoupled fast step grid
-    (hmax default 16, log-space output interpolation) inside metro();
-    the walk's likelihoods match the reference-semantics solveivp mode
-    far within data-uncertainty significance."""
+    (hmax default 16, log-space output interpolation): the policy
+    resolver picks the right mode, the likelihood surface matches the
+    reference-semantics solveivp mode far within data-uncertainty
+    significance (deterministic eval comparison — a walk comparison
+    would be seed-fragile: a ~1e-3 dll can flip an accept), and a walk
+    through metro() runs finite."""
     from metrotrpl_tpu.inference import metro
+    from metrotrpl_tpu.inference.likelihood import (
+        build_likelihood_plan,
+        make_eval_logll,
+        resolve_solver_mode,
+    )
 
+    sim_info, pi, flags, e_data, iniPar = _tiny_problem(tmp_path)
+    flags = dict(flags)
+    del flags["hmax"]  # exercise the defaults
+    # policy resolution
+    assert resolve_solver_mode({"solver": ("solveivp",)}, 4.0) == (4.0, True)
+    assert resolve_solver_mode({"solver": ("sdirk",)}, 4.0) == (16.0, False)
+    assert resolve_solver_mode({"solver": ("sdirk",), "hmax": 48.0},
+                               4.0) == (48.0, False)
+    # likelihood surface: same states, both modes, several off-truth points
     lls = {}
+    states = jnp.asarray([[pi["init_guess"][n] for n in pi["names"]],
+                          [pi["init_guess"][n] * (1.2 if a else 1)
+                           for n, a in zip(pi["names"],
+                                           [pi["active"][n]
+                                            for n in pi["names"]])]],
+                         jnp.float64)
+    temps = jnp.ones(2, jnp.float64)
     for solver in ("solveivp", "sdirk"):
-        sim_info, pi, flags, e_data, iniPar = _tiny_problem(tmp_path)
-        flags = dict(flags)
-        flags["solver"] = (solver,)
-        flags["num_iters"] = 4
-        flags["checkpoint_freq"] = 4
-        flags["output_path"] = str(tmp_path / f"out_{solver}")
-        if solver == "sdirk":
-            del flags["hmax"]  # exercise the fast-mode default (16)
-        ens = metro(sim_info, iniPar, e_data, flags, pi, seed=17,
-                    export_path=f"{solver}-final.pik")
-        lls[solver] = np.asarray(ens.H.loglikelihood)
-        assert np.isfinite(lls[solver]).all()
-    # same seed -> same proposals; nearly identical likelihood surfaces
-    # -> identical accept decisions and matching trajectories
+        f = dict(flags, solver=(solver,))
+        hm, align = resolve_solver_mode(f, 4.0)
+        plan = build_likelihood_plan(sim_info, pi, f, e_data, iniPar,
+                                     hmax=hm, align_outputs=align)
+        ev = jax.jit(make_eval_logll(plan, dtype=jnp.float64))
+        lls[solver] = np.asarray(ev(states, temps)["logll_T"])
+    assert np.isfinite(lls["sdirk"]).all()
     np.testing.assert_allclose(lls["sdirk"], lls["solveivp"],
                                rtol=2e-3, atol=0.05)
+    # integration smoke: metro with the sdirk config runs finite
+    f = dict(flags, solver=("sdirk",), num_iters=3, checkpoint_freq=3,
+             output_path=str(tmp_path / "out_sdirk"))
+    ens = metro(sim_info, iniPar, e_data, f, pi, seed=17,
+                export_path="sdirk-final.pik")
+    assert np.isfinite(np.asarray(ens.H.loglikelihood)).all()
 
 
 def test_surrogate_multiexp_and_roundtrip(tmp_path):
