@@ -21,11 +21,10 @@ def _load_common(script_path):
     from metrotrpl_tpu.config import (
         get_data,
         get_initpoints,
-        read_config_script_file,
+        read_config,
     )
 
-    sim_info, param_info, meas_flags, MCMC_fields = read_config_script_file(
-        script_path)
+    sim_info, param_info, meas_flags, MCMC_fields = read_config(script_path)
     iniPar = get_initpoints(MCMC_fields["init_cond_path"], meas_flags)
     e_data = get_data(MCMC_fields["measurement_path"], meas_flags,
                       MCMC_fields)
@@ -297,6 +296,25 @@ def cmd_write_pa_example(args):
     print(f"Wrote {args.out}")
 
 
+def cmd_convert_config(args):
+    """Convert between the reference text format and the native TOML
+    format (direction chosen by the output extension)."""
+    from metrotrpl_tpu.config import (
+        generate_config_script_file,
+        read_config,
+        write_config_toml,
+    )
+
+    sim_info, param_info, meas_flags, MCMC_fields = read_config(args.src)
+    if args.dst.endswith(".toml"):
+        write_config_toml(args.dst, sim_info, param_info, meas_flags,
+                          MCMC_fields)
+    else:
+        generate_config_script_file(args.dst, sim_info, param_info,
+                                    meas_flags, MCMC_fields)
+    print(f"Wrote {args.dst}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="metrotrpl_tpu",
                                 description=__doc__,
@@ -345,7 +363,24 @@ def main(argv=None):
         sp.add_argument("--output", default=None)
         sp.set_defaults(fn=fn)
 
+    sp = sub.add_parser(
+        "convert-config",
+        help="convert between the reference text config format and the "
+             "native TOML format (by output extension)")
+    sp.add_argument("src")
+    sp.add_argument("dst")
+    sp.set_defaults(fn=cmd_convert_config)
+
     args = p.parse_args(argv)
+
+    # Honor the user's JAX_PLATFORMS choice even when a sitecustomize has
+    # already pinned a different platform at interpreter startup (env vars
+    # are only read once by jax, so re-assert through the config API).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
     return args.fn(args)
 
 

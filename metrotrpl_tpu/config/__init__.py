@@ -9,10 +9,23 @@ framework consumes (reference format: bayes_io.py:259-966).
 from metrotrpl_tpu.config.script_io import (  # noqa: F401
     read_config_script_file,
     generate_config_script_file,
+    finalize_config,
     insert_param,
     remap_fittable_inds,
     remap_constraint_grps,
 )
+from metrotrpl_tpu.config.native import (  # noqa: F401
+    read_config_toml,
+    write_config_toml,
+)
+
+
+def read_config(path):
+    """Format-dispatching reader: ``.toml`` -> the native TOML format,
+    anything else -> the reference text format."""
+    if str(path).endswith(".toml"):
+        return read_config_toml(path)
+    return read_config_script_file(path)
 from metrotrpl_tpu.config.data_io import (  # noqa: F401
     get_data,
     get_initpoints,

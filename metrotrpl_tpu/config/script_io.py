@@ -244,13 +244,28 @@ def read_config_script_file(path):
                 elif key.startswith("Output path"):
                     MCMC_fields["output_path"] = os.path.join(value)
 
+    return finalize_config(grid, param_info, meas_flags, MCMC_fields)
+
+
+def finalize_config(grid, param_info, meas_flags, MCMC_fields):
+    """Validate + post-process parsed config dicts (shared by the
+    reference text reader and the native TOML reader): select_obs_sets
+    remapping, synthetic ``_s*/_f*/_a*`` param insertion, and measurement
+    subsetting (reference bayes_io.py:511-529)."""
+    # Optional keys that readers may emit as an explicit None (text format
+    # writes e.g. "Load checkpoint: None") or omit entirely (TOML has no
+    # null): normalize to present-as-None so both formats parse identically.
+    for k in ("scale_factor", "fittable_fluences", "fittable_absps",
+              "irf_convolution", "load_checkpoint"):
+        MCMC_fields.setdefault(k, None)
+
     validate_grid(grid)
     validate_param_info(param_info)
     validate_meas_flags(meas_flags, grid["num_meas"])
     validate_MCMC_fields(MCMC_fields, grid["num_meas"])
 
-    # Keep fittable indices consistent after subsetting with select_obs_sets
-    # (reference bayes_io.py:511-529).
+    # Keep fittable indices consistent after subsetting with
+    # select_obs_sets (reference bayes_io.py:511-529).
     if meas_flags.get("select_obs_sets", None) is None:
         meas_flags["select_obs_sets"] = np.arange(grid["num_meas"])
     else:
