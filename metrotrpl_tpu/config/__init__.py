@@ -20,12 +20,6 @@ from metrotrpl_tpu.config.native import (  # noqa: F401
 )
 
 
-def read_config(path):
-    """Format-dispatching reader: ``.toml`` -> the native TOML format,
-    anything else -> the reference text format."""
-    if str(path).endswith(".toml"):
-        return read_config_toml(path)
-    return read_config_script_file(path)
 from metrotrpl_tpu.config.data_io import (  # noqa: F401
     get_data,
     get_initpoints,
@@ -37,3 +31,11 @@ from metrotrpl_tpu.config.validate import (  # noqa: F401
     validate_meas_flags,
     validate_MCMC_fields,
 )
+
+
+def read_config(path):
+    """Format-dispatching reader: ``.toml`` -> the native TOML format,
+    anything else -> the reference text format."""
+    if str(path).endswith(".toml"):
+        return read_config_toml(path)
+    return read_config_script_file(path)

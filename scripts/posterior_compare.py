@@ -175,16 +175,35 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0):
     return samples, float(acc.mean())
 
 
+def _cached_oracle_mh(t, vals, n_iters):
+    """The oracle half is hmax-independent, so cache it: h-sweeps re-run
+    only the tpu half.  Cache key = (n_iters, SEED); dataset params are
+    constants of this script."""
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f".oracle_mh_{n_iters}_{SEED}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        print(f"  (oracle MH from cache {cache})", flush=True)
+        return {k: z[k] for k in ACTIVE}, float(z["acc"])
+    samples, acc = run_oracle_mh(t, vals, n_iters)
+    np.savez(cache, acc=acc, **samples)
+    return samples, acc
+
+
 def main():
     n_oracle = int(sys.argv[1]) if len(sys.argv) > 1 else 2500
     n_tpu = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
     hmax = float(sys.argv[3]) if len(sys.argv) > 3 else 16.0
     outname = sys.argv[4] if len(sys.argv) > 4 else "POSTERIOR_r02.md"
     t, vals = make_dataset()
+    if outname == "--oracle-only":
+        # warm the oracle cache without touching the accelerator
+        _cached_oracle_mh(t, vals, n_oracle)
+        return
     print("running tpu MH...", flush=True)
     tpu_samples, tpu_acc = run_tpu_mh(t, vals, n_tpu, hmax=hmax)
     print("running oracle MH...", flush=True)
-    oracle_samples, oracle_acc = run_oracle_mh(t, vals, n_oracle)
+    oracle_samples, oracle_acc = _cached_oracle_mh(t, vals, n_oracle)
 
     burn_o = n_oracle // 3
     burn_t = n_tpu // 3
