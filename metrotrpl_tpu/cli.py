@@ -24,6 +24,16 @@ def _load_common(script_path):
         read_config,
     )
 
+    # Honor the user's JAX_PLATFORMS choice even when a sitecustomize has
+    # already pinned a different platform at interpreter startup (env vars
+    # are only read once by jax, so re-assert through the config API).
+    # Done here — not in main() — so jax-free subcommands (convert-config,
+    # write-example) never pay the jax import.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
     sim_info, param_info, meas_flags, MCMC_fields = read_config(script_path)
     iniPar = get_initpoints(MCMC_fields["init_cond_path"], meas_flags)
     e_data = get_data(MCMC_fields["measurement_path"], meas_flags,
@@ -299,20 +309,28 @@ def cmd_write_pa_example(args):
 def cmd_convert_config(args):
     """Convert between the reference text format and the native TOML
     format (direction chosen by the output extension)."""
+    import copy
+
     from metrotrpl_tpu.config import (
+        finalize_config,
         generate_config_script_file,
-        read_config,
+        parse_config,
         write_config_toml,
     )
 
-    sim_info, param_info, meas_flags, MCMC_fields = read_config(args.src)
-    if args.dst.endswith(".toml"):
-        write_config_toml(args.dst, sim_info, param_info, meas_flags,
-                          MCMC_fields)
+    # Writers expect RAW (pre-finalize) dicts: finalize subsets the grid
+    # under select_obs_sets, which must not be baked into the written file
+    # (the written config still references the full measurement CSVs).
+    raw = parse_config(args.src)
+    finalize_config(*copy.deepcopy(raw))  # validate without mutating
+    dst = args.dst
+    if dst.endswith(".toml"):
+        write_config_toml(dst, *raw)
     else:
-        generate_config_script_file(args.dst, sim_info, param_info,
-                                    meas_flags, MCMC_fields)
-    print(f"Wrote {args.dst}")
+        generate_config_script_file(dst, *raw)
+        if not dst.endswith(".txt"):
+            dst += ".txt"  # the text writer enforces the extension
+    print(f"Wrote {dst}")
 
 
 def main(argv=None):
@@ -372,15 +390,6 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_convert_config)
 
     args = p.parse_args(argv)
-
-    # Honor the user's JAX_PLATFORMS choice even when a sitecustomize has
-    # already pinned a different platform at interpreter startup (env vars
-    # are only read once by jax, so re-assert through the config API).
-    plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
-        import jax
-        jax.config.update("jax_platforms", plat)
-
     return args.fn(args)
 
 

@@ -8,6 +8,7 @@ framework consumes (reference format: bayes_io.py:259-966).
 
 from metrotrpl_tpu.config.script_io import (  # noqa: F401
     read_config_script_file,
+    parse_config_script_file,
     generate_config_script_file,
     finalize_config,
     insert_param,
@@ -16,6 +17,7 @@ from metrotrpl_tpu.config.script_io import (  # noqa: F401
 )
 from metrotrpl_tpu.config.native import (  # noqa: F401
     read_config_toml,
+    parse_config_toml,
     write_config_toml,
 )
 
@@ -39,3 +41,12 @@ def read_config(path):
     if str(path).endswith(".toml"):
         return read_config_toml(path)
     return read_config_script_file(path)
+
+
+def parse_config(path):
+    """Format-dispatching RAW parser (no finalize pipeline): the
+    pre-validation dicts the config writers expect, so that
+    parse -> write round-trips losslessly (used by convert-config)."""
+    if str(path).endswith(".toml"):
+        return parse_config_toml(path)
+    return parse_config_script_file(path)

@@ -10,6 +10,10 @@ the ``.toml`` extension).
 
 Schema (see ``write_config_toml`` for a generated example):
 
+    # mu_constraint = [20.0, 3.0]   # optional ambipolar-mobility
+    #                               # constraint [center, width]; must
+    #                               # appear BEFORE the first [table]
+
     [grid]
     lengths = [311.0, 2000.0]        # nm, one per measurement
     nx = [128, 128]
@@ -79,6 +83,12 @@ def read_config_toml(path):
     """Read a native TOML config; returns the same
     (grid, param_info, meas_flags, MCMC_fields) as
     ``read_config_script_file``, via the same finalize pipeline."""
+    return finalize_config(*parse_config_toml(path))
+
+
+def parse_config_toml(path):
+    """Parse a native TOML config WITHOUT the finalize pipeline (raw
+    pre-validation dicts, the writers' input contract)."""
     with open(path, "rb") as f:
         doc = tomllib.load(f)
 
@@ -136,7 +146,7 @@ def read_config_toml(path):
     # per-meastype dict form comes through TOML tables directly
     MCMC_fields = mc
 
-    return finalize_config(grid, param_info, meas_flags, MCMC_fields)
+    return grid, param_info, meas_flags, MCMC_fields
 
 
 def _toml_scalar(v):
@@ -169,6 +179,11 @@ def write_config_toml(path, grid, param_info, meas_flags, MCMC_fields):
     (accepts either pre- or post-``finalize_config`` dicts; synthetic
     ``_s*/_f*/_a*`` params are skipped — they are re-derived on read)."""
     lines = ["# metrotrpl_tpu native config (read_config_toml)", ""]
+    # Top-level keys must precede the first [table] or tomllib folds them
+    # into that table.
+    if param_info.get("do_mu_constraint") is not None:
+        lines += [f"mu_constraint = "
+                  f"{_toml_value(list(param_info['do_mu_constraint']))}", ""]
     lines += ["[grid]",
               f"lengths = {_toml_value([float(x) for x in grid['lengths']])}",
               f"nx = {_toml_value([int(x) for x in grid['nx']])}",
@@ -189,9 +204,6 @@ def write_config_toml(path, grid, param_info, meas_flags, MCMC_fields):
             f"trial_move = "
             f"{_toml_scalar(float(param_info['trial_move'].get(n, 0.0)))}",
             ""]
-    if param_info.get("do_mu_constraint") is not None:
-        lines += [f"mu_constraint = "
-                  f"{_toml_value(param_info['do_mu_constraint'])}", ""]
 
     lines += ["[measurement]",
               f"time_cutoff = {_toml_value(meas_flags['time_cutoff'])}"]

@@ -121,6 +121,14 @@ def read_config_script_file(path):
     key vocabulary as the reference reader (bayes_io.py:259-541), including
     select_obs_sets remapping and synthetic ``_s*/_f*/_a*`` param insertion.
     """
+    return finalize_config(*parse_config_script_file(path))
+
+
+def parse_config_script_file(path):
+    """Parse an MCMC config script WITHOUT the finalize pipeline: raw
+    as-written dicts, no validation, no select_obs_sets subsetting, no
+    synthetic param insertion.  This is what config converters need —
+    the writers expect pre-finalize dicts, so parse->write is lossless."""
     grid = {}
     param_info = {}
     meas_flags = {}
@@ -244,7 +252,7 @@ def read_config_script_file(path):
                 elif key.startswith("Output path"):
                     MCMC_fields["output_path"] = os.path.join(value)
 
-    return finalize_config(grid, param_info, meas_flags, MCMC_fields)
+    return grid, param_info, meas_flags, MCMC_fields
 
 
 def finalize_config(grid, param_info, meas_flags, MCMC_fields):
@@ -285,10 +293,14 @@ def finalize_config(grid, param_info, meas_flags, MCMC_fields):
     insert_param(param_info, MCMC_fields, mode="fluences")
     insert_param(param_info, MCMC_fields, mode="absorptions")
 
-    # Subset simulation info to the selected measurements.
+    # Subset simulation info to the selected measurements.  The reference
+    # (bayes_io.py:531-539) forgets grid["nx"] here, silently pairing wrong
+    # spatial resolutions with the selected measurements when nx is
+    # heterogeneous; we subset it like the rest of the grid.
     sel = meas_flags["select_obs_sets"]
     grid["meas_types"] = [grid["meas_types"][i] for i in sel]
     grid["lengths"] = [grid["lengths"][i] for i in sel]
+    grid["nx"] = [int(grid["nx"][i]) for i in sel]
     grid["num_meas"] = len(sel)
     if MCMC_fields.get("irf_convolution", None) is not None:
         MCMC_fields["irf_convolution"] = [

@@ -15,9 +15,12 @@ both samplers and the truth. Agreement within the posterior sigmas is the
 acceptance contract from BASELINE.json.
 
 Usage: python scripts/posterior_compare.py [n_iters_oracle] [n_iters_tpu]
-           [hmax] [outname]
+           [hmax] [outname] [--oracle-only]
 hmax parameterizes the tpu fast mode (default 16); outname the report
-file under docs/ (default POSTERIOR_r02.md).
+file under docs/ (default POSTERIOR_r02.md).  --oracle-only (anywhere on
+the command line) runs just the CPU oracle half to warm its cache — the
+oracle is hmax-independent and cached, so h-sweeps re-run only the tpu
+half.
 """
 
 import os
@@ -177,10 +180,17 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0):
 
 def _cached_oracle_mh(t, vals, n_iters):
     """The oracle half is hmax-independent, so cache it: h-sweeps re-run
-    only the tpu half.  Cache key = (n_iters, SEED); dataset params are
-    constants of this script."""
+    only the tpu half.  The cache key hashes every dataset/sampler
+    constant, so editing any of them invalidates old caches instead of
+    silently comparing against a stale oracle posterior."""
+    import hashlib
+
+    consts = repr((NX, NT, T_END, LENGTHS, sorted(TRUE.items()), ACTIVE,
+                   sorted(START.items()), sorted(PRIOR.items()),
+                   WIDTH, SIGMA, UNC))
+    tag = hashlib.sha1(consts.encode()).hexdigest()[:10]
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         f".oracle_mh_{n_iters}_{SEED}.npz")
+                         f".oracle_mh_{n_iters}_{SEED}_{tag}.npz")
     if os.path.exists(cache):
         z = np.load(cache)
         print(f"  (oracle MH from cache {cache})", flush=True)
@@ -191,12 +201,14 @@ def _cached_oracle_mh(t, vals, n_iters):
 
 
 def main():
-    n_oracle = int(sys.argv[1]) if len(sys.argv) > 1 else 2500
-    n_tpu = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
-    hmax = float(sys.argv[3]) if len(sys.argv) > 3 else 16.0
-    outname = sys.argv[4] if len(sys.argv) > 4 else "POSTERIOR_r02.md"
+    argv = [a for a in sys.argv[1:] if a != "--oracle-only"]
+    oracle_only = len(argv) < len(sys.argv) - 1
+    n_oracle = int(argv[0]) if len(argv) > 0 else 2500
+    n_tpu = int(argv[1]) if len(argv) > 1 else 20000
+    hmax = float(argv[2]) if len(argv) > 2 else 16.0
+    outname = argv[3] if len(argv) > 3 else "POSTERIOR_r02.md"
     t, vals = make_dataset()
-    if outname == "--oracle-only":
+    if oracle_only:
         # warm the oracle cache without touching the accelerator
         _cached_oracle_mh(t, vals, n_oracle)
         return

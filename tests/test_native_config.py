@@ -104,7 +104,6 @@ def test_toml_text_equivalence_basic(tmp_path):
 def test_toml_text_equivalence_select_and_scale(tmp_path):
     """The gnarly path: select_obs_sets subsetting + scale-factor
     synthetic-param insertion must match across formats."""
-    sf = [0.1, np.array([0, 1, 2]), [(0, 2)], [1.0, 2.0, 3.0]]
     sim_info, pi, meas, mcmc = _cfg_dicts(tmp_path, select=[0, 2],
                                           scale_factor=[0.1, [0, 1, 2],
                                                         [(0, 2)],
@@ -155,3 +154,40 @@ def test_convert_config_cli_roundtrip(tmp_path):
     cli_main(["convert-config", toml, txt2])
     c = read_config_script_file(txt2)
     _assert_equiv(a, c)
+
+
+def test_convert_config_preserves_select_obs_sets(tmp_path):
+    """convert-config must write the PRE-finalize config: a select subset
+    must not be baked into the written grid (the file still references the
+    full measurement CSVs), and the re-read must subset identically —
+    including nx, which the reference reader forgets to subset."""
+    sim_info, pi, meas, mcmc = _cfg_dicts(tmp_path, select=[0, 2])
+    sim_info["nx"] = [128, 64, 32]
+    txt = str(tmp_path / "cfg.txt")
+    generate_config_script_file(txt, dict(sim_info), {k: (dict(v) if
+                                isinstance(v, dict) else v) for k, v in
+                                pi.items()}, dict(meas), dict(mcmc))
+    a = read_config_script_file(txt)
+    assert list(a[0]["nx"]) == [128, 32]          # subset pairs with meas
+    assert list(a[0]["lengths"]) == [311.0, 311.0]
+
+    toml = str(tmp_path / "cfg.toml")
+    cli_main(["convert-config", txt, toml])
+    b = read_config_toml(toml)
+    _assert_equiv(a, b)
+    # and back to text
+    txt2 = str(tmp_path / "cfg2.txt")
+    cli_main(["convert-config", toml, txt2])
+    c = read_config_script_file(txt2)
+    _assert_equiv(a, c)
+
+
+def test_mu_constraint_toml_roundtrip(tmp_path):
+    """mu_constraint is a top-level TOML key and must survive write->read
+    (it must be emitted before the first [table])."""
+    sim_info, pi, meas, mcmc = _cfg_dicts(tmp_path)
+    pi["do_mu_constraint"] = [20.0, 3.0]
+    toml = str(tmp_path / "cfg.toml")
+    write_config_toml(toml, sim_info, pi, meas, mcmc)
+    b = read_config_toml(toml)
+    assert list(b[1]["do_mu_constraint"]) == [20.0, 3.0]
