@@ -3,6 +3,8 @@ Jacobians, interpolation, and IRF convolution kernels."""
 
 from metrotrpl_tpu.ops.blocktridiag import (  # noqa: F401
     block_tridiag_jacobian,
+    pcr_factor,
+    pcr_apply,
     pcr_solve,
     thomas_solve,
     inv_small,

@@ -329,29 +329,87 @@ def block_tridiag_matvec(L, D, U, x):
     return y
 
 
-def pcr_solve(L, D, U, b, n_steps=None):
+_is_planes = lambda y: isinstance(y, (tuple, list))
+
+
+def pcr_factor(L, D, U):
+    """Run the PCR matrix path once, recording per-level (alpha, beta)
+    update operators plus the final decoupled D^-1. The returned factors
+    can be applied to any number of right-hand sides via :func:`pcr_apply`.
+
+    Blocks are either nested tuples of (..., n) planes or stacked
+    (..., C, C, n) arrays (representation dispatch: solver/sdirk.py layout
+    note)."""
+    if not _is_planes(L):
+        n = L.shape[-1]
+        n_levels = int(math.ceil(math.log2(n))) if n > 1 else 0
+        alphas, betas = [], []
+        s = 1
+        for _ in range(n_levels):
+            Dinv = inv_small(D)
+            alpha = -_mm(L, _shift(Dinv, s))
+            beta = -_mm(U, _shift(Dinv, -s))
+            alphas.append(alpha)
+            betas.append(beta)
+            L, D, U = (
+                _mm(alpha, _shift(L, s)),
+                D + _mm(alpha, _shift(U, s)) + _mm(beta, _shift(L, -s)),
+                _mm(beta, _shift(U, -s)),
+            )
+            s *= 2
+        return alphas, betas, inv_small(D)
+    n = L[0][0].shape[-1]
+    n_levels = int(math.ceil(math.log2(n))) if n > 1 else 0
+    alphas, betas = [], []
+    s = 1
+    add = lambda A, B: tuple(tuple(a + b for a, b in zip(ra, rb))
+                             for ra, rb in zip(A, B))
+    for _ in range(n_levels):
+        Dinv = p_inv_small(D)
+        alpha = p_neg(p_mm(L, p_shift_m(Dinv, s)))
+        beta = p_neg(p_mm(U, p_shift_m(Dinv, -s)))
+        alphas.append(alpha)
+        betas.append(beta)
+        L, D, U = (
+            p_mm(alpha, p_shift_m(L, s)),
+            add(D, add(p_mm(alpha, p_shift_m(U, s)),
+                       p_mm(beta, p_shift_m(L, -s)))),
+            p_mm(beta, p_shift_m(U, -s)),
+        )
+        s *= 2
+    return alphas, betas, p_inv_small(D)
+
+
+def pcr_apply(factors, b):
+    """Solve M x = b using factors from :func:`pcr_factor`; b is a tuple of
+    C (..., n) planes or a stacked (..., C, n) array."""
+    alphas, betas, Dinv_final = factors
+    if not _is_planes(b):
+        s = 1
+        for alpha, beta in zip(alphas, betas):
+            b = b + _mv(alpha, _shift(b, s)) + _mv(beta, _shift(b, -s))
+            s *= 2
+        return _mv(Dinv_final, b)
+    s = 1
+    for alpha, beta in zip(alphas, betas):
+        lo = p_mv(alpha, p_shift_v(b, s))
+        hi = p_mv(beta, p_shift_v(b, -s))
+        b = tuple(bi + li + hj for bi, li, hj in zip(b, lo, hi))
+        s *= 2
+    return p_mv(Dinv_final, b)
+
+
+def pcr_solve(L, D, U, b):
     """Solve the block-tridiagonal system via parallel cyclic reduction.
 
     L/D/U (..., C, C, n), b (..., C, n). Requires the cell-0 block of L and
     the cell-(n-1) block of U to be zero. After ceil(log2 n) reduction
     sweeps every equation is decoupled and x = D^-1 b.
-    """
-    n = b.shape[-1]
-    if n_steps is None:
-        n_steps = int(math.ceil(math.log2(n))) if n > 1 else 0
 
-    s = 1
-    for _ in range(n_steps):
-        Dinv = inv_small(D)
-        alpha = -_mm(L, _shift(Dinv, s))
-        beta = -_mm(U, _shift(Dinv, -s))
-        L_new = _mm(alpha, _shift(L, s))
-        U_new = _mm(beta, _shift(U, -s))
-        D_new = D + _mm(alpha, _shift(U, s)) + _mm(beta, _shift(L, -s))
-        b_new = b + _mv(alpha, _shift(b, s)) + _mv(beta, _shift(b, -s))
-        L, D, U, b = L_new, D_new, U_new, b_new
-        s *= 2
-    return _mv(inv_small(D), b)
+    One-shot convenience over the production :func:`pcr_factor` /
+    :func:`pcr_apply` pair (same sweep, so the pcr tests exercise the
+    integrator's actual path)."""
+    return pcr_apply(pcr_factor(L, D, U), b)
 
 
 def thomas_solve(L, D, U, b):

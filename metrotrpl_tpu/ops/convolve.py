@@ -24,8 +24,15 @@ import numpy as np
 
 def i_moment_closed(t_irf, f_irf):
     """Closed-form moment table, shape (nk_irf, 3); the last row stays zero
-    like the reference's loop bound (laplace.py:37-39)."""
-    dt = t_irf[1] - t_irf[0]
+    like the reference's loop bound (laplace.py:37-39).
+
+    dt is the mean grid step — the same definition the likelihood layer
+    uses for the half-step resample grid (likelihood.py), so the FIR taps
+    and the resampled signal always agree. (The reference uses
+    t[1]-t[0] here but mean(diff) for the resample, laplace.py:66/162 —
+    identical for the uniform grids its docstring requires, silently
+    inconsistent otherwise; make_I_tables validates uniformity.)"""
+    dt = float(np.mean(np.diff(t_irf)))
     nk = len(f_irf)
     table = np.zeros((nk, 3))
     a = f_irf[1:]   # y[m+1]
@@ -47,6 +54,15 @@ def make_I_tables(irfs):
         w = int(w)
         t_irf = irf[:, 0]
         f_irf = irf[:, 1]
+        # The moment-convolution math requires a uniform time grid; a
+        # non-uniform IRF file would silently corrupt every likelihood,
+        # so fail loudly instead.
+        d = np.diff(t_irf)
+        if d.size and (d.max() - d.min()) > 1e-3 * abs(d.mean()):
+            raise ValueError(
+                f"IRF table for wavelength {w} is not uniformly sampled "
+                f"(dt ranges {d.min():g}..{d.max():g}); the moment "
+                "convolution requires a uniform time grid")
         tables[w] = (i_moment_closed(t_irf, f_irf), t_irf)
     return tables
 

@@ -22,18 +22,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from metrotrpl_tpu.ops.blocktridiag import (
-    _mm,
-    _mv,
-    _shift,
     block_tridiag_jacobian,
-    inv_small,
     p_block_tridiag_jacobian,
-    p_inv_small,
-    p_mm,
-    p_mv,
-    p_neg,
-    p_shift_m,
-    p_shift_v,
+    pcr_apply,
+    pcr_factor,
 )
 
 # State representation dispatch. The integrator supports two layouts with
@@ -84,73 +76,6 @@ SDIRK_SCHEMES = {
     # Backward Euler (1st order) — robustness fallback / testing
     "be": SDIRKScheme(name="be", A=np.array([[1.0]]), gamma=1.0, order=1),
 }
-
-
-def pcr_factor(L, D, U):
-    """Run the PCR matrix path once, recording per-level (alpha, beta)
-    update operators plus the final decoupled D^-1. The returned factors
-    can be applied to any number of right-hand sides via :func:`pcr_apply`.
-
-    Blocks are either nested tuples of (..., n) planes or stacked
-    (..., C, C, n) arrays (representation dispatch note above)."""
-    if not _is_planes(L):
-        n = L.shape[-1]
-        n_levels = int(math.ceil(math.log2(n))) if n > 1 else 0
-        alphas, betas = [], []
-        s = 1
-        for _ in range(n_levels):
-            Dinv = inv_small(D)
-            alpha = -_mm(L, _shift(Dinv, s))
-            beta = -_mm(U, _shift(Dinv, -s))
-            alphas.append(alpha)
-            betas.append(beta)
-            L, D, U = (
-                _mm(alpha, _shift(L, s)),
-                D + _mm(alpha, _shift(U, s)) + _mm(beta, _shift(L, -s)),
-                _mm(beta, _shift(U, -s)),
-            )
-            s *= 2
-        return alphas, betas, inv_small(D)
-    n = L[0][0].shape[-1]
-    C = len(L)
-    n_levels = int(math.ceil(math.log2(n))) if n > 1 else 0
-    alphas, betas = [], []
-    s = 1
-    add = lambda A, B: tuple(tuple(a + b for a, b in zip(ra, rb))
-                             for ra, rb in zip(A, B))
-    for _ in range(n_levels):
-        Dinv = p_inv_small(D)
-        alpha = p_neg(p_mm(L, p_shift_m(Dinv, s)))
-        beta = p_neg(p_mm(U, p_shift_m(Dinv, -s)))
-        alphas.append(alpha)
-        betas.append(beta)
-        L, D, U = (
-            p_mm(alpha, p_shift_m(L, s)),
-            add(D, add(p_mm(alpha, p_shift_m(U, s)),
-                       p_mm(beta, p_shift_m(L, -s)))),
-            p_mm(beta, p_shift_m(U, -s)),
-        )
-        s *= 2
-    return alphas, betas, p_inv_small(D)
-
-
-def pcr_apply(factors, b):
-    """Solve M x = b using factors from :func:`pcr_factor`; b is a tuple of
-    C (..., n) planes or a stacked (..., C, n) array."""
-    alphas, betas, Dinv_final = factors
-    if not _is_planes(b):
-        s = 1
-        for alpha, beta in zip(alphas, betas):
-            b = b + _mv(alpha, _shift(b, s)) + _mv(beta, _shift(b, -s))
-            s *= 2
-        return _mv(Dinv_final, b)
-    s = 1
-    for alpha, beta in zip(alphas, betas):
-        lo = p_mv(alpha, p_shift_v(b, s))
-        hi = p_mv(beta, p_shift_v(b, -s))
-        b = tuple(bi + li + hj for bi, li, hj in zip(b, lo, hi))
-        s *= 2
-    return p_mv(Dinv_final, b)
 
 
 def sdirk_factors(rhs, y, h, scheme):
@@ -270,7 +195,9 @@ def integrate_observables(rhs, observe, y0, dts, scheme_name="sdirk3",
 
     F = int(refactor_every)
     if (n_steps - n_ramp) % F != 0:
-        raise ValueError("plateau length must divide refactor_every")
+        raise ValueError(
+            f"refactor_every ({F}) must divide the plateau length "
+            f"(n_steps - n_ramp = {n_steps - n_ramp})")
 
     y_mid, obs1 = jax.lax.scan(body, y0, dts[:n_ramp])
 

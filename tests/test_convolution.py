@@ -85,6 +85,16 @@ def test_make_I_tables_real_irf():
     np.testing.assert_allclose(table[-1], 0.0, atol=0)
 
 
+def test_make_I_tables_rejects_nonuniform_grid():
+    """The moment convolution assumes a uniform IRF time grid; a
+    non-uniform file must fail loudly (the reference silently produces
+    mutually-misaligned taps vs resample grid, laplace.py:66/162)."""
+    t = np.array([0.0, 1.0, 2.0, 4.0, 5.0])  # one doubled interval
+    irf = np.stack([t, np.exp(-t)], axis=1)
+    with pytest.raises(ValueError, match="not uniformly sampled"):
+        make_I_tables({520: irf})
+
+
 @pytest.mark.skipif(not os.path.exists(IRF_520), reason="IRF file missing")
 def test_irf_likelihood_path_matches_reference_pipeline():
     """End-to-end: the masked fixed-shape IRF path inside the likelihood

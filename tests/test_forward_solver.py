@@ -184,7 +184,11 @@ def test_pallas_backend_matches_xla_interpret():
     B, nx = 8, 32
     lengths = [311.0, 2000.0] * 4
     times = [np.linspace(0, 50, 9)] * B
-    plan = make_forward_plan(lengths, [nx] * B, ["TRPL"] * B, times)
+    # mixed observables: the kernel's TRTS branch duplicates
+    # physics.models.observables_planes (pallas_step.py observed()), so
+    # pin BOTH branches against the XLA path to catch divergence
+    meas_types = ["TRPL", "TRTS"] * 4
+    plan = make_forward_plan(lengths, [nx] * B, meas_types, times)
     x = jnp.asarray(plan.x_centers, jnp.float32)
     init = beer_lambert(jnp.full((B, 1), 2.12e-3, jnp.float32),
                         jnp.full((B, 1), 6e-3, jnp.float32), x)
