@@ -48,7 +48,10 @@ def modify_scale_factors(param_info, sim_flags):
 def bayes(N, P, init_params, sim_params, e_data, sim_flags, param_info,
           logger=None, chunk=512, seed=0, dtype=jnp.float32):
     """Run the dense random sweep; returns (N, P, X) like the reference
-    driver (dense_sampling.py:209-314)."""
+    driver (dense_sampling.py:209-314).
+
+    N and P exist only for reference signature parity and are IGNORED
+    (immediately reallocated below, as in the reference) — pass None."""
     rng = np.random.default_rng(seed)
     if sim_flags.get("scale_factor", None) is not None:
         modify_scale_factors(param_info, sim_flags)

@@ -176,6 +176,8 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
         base_move = max(
             tm[n] if param_info["active"][n] else 0 for n in names)
         l2v = MCMC_fields["likel2move_ratio"]
+        if not isinstance(l2v, dict):  # validated scalar form
+            l2v = {m: l2v for m in set(meas_types)}
         sigma_spec = {m: base_move * l2v[m] for m in set(meas_types)}
     if isinstance(sigma_spec, dict):
         sigma = np.array([sigma_spec[m] for m in meas_types], dtype=float)
@@ -390,9 +392,6 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
         def tile_m(a):  # (M, ...) -> (K*M, ...)
             return jnp.tile(a, (K,) + (1,) * (a.ndim - 1))
 
-        def repeat_k(a):  # (K, ...) -> (K*M, ...) interleaved per chain
-            return jnp.repeat(a, M, axis=0)
-
         f_mult = _gather_or_one(states, fluence_idx)          # (K, M)
         a_mult = _gather_or_one(states, absp_idx)
         s_fact = _gather_or_one(states, scale_idx)
@@ -506,6 +505,12 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
         b_uncs2 = tile_m(exp_uncs2)
 
         # ---- force_min_y (reference utils.set_min_y) ----
+        # i_final = count of points above min_y; clamping positions >=
+        # i_final equals the reference's searchsorted cut exactly for the
+        # monotone-decreasing decays it supports. For non-monotone signals
+        # the reference binary-searches UNSORTED data (utils.py:29 —
+        # arbitrary result); we deliberately use this deterministic
+        # tail-clamp instead.
         if plan.force_min_y:
             vals_min = jnp.min(
                 jnp.where(valid, b_vals, jnp.inf), axis=1)
@@ -536,12 +541,23 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
 
     def eval_chunked(states, temps):
         K = states.shape[0]
-        if K <= eval_chunk or K % eval_chunk != 0:
+        if K <= eval_chunk:
             return eval_logll(states, temps)
-        chunks = states.reshape(K // eval_chunk, eval_chunk, -1)
+        # Pad K up to a chunk multiple with copies of row 0 so every batch
+        # size stays under the VMEM bound (an unchunked fallback here would
+        # silently re-enter the >~64-sim spill regime this chunking
+        # exists to avoid). Pad rows only inflate the n_solver_fail
+        # diagnostic if row 0 itself fails.
+        Kp = -(-K // eval_chunk) * eval_chunk
+        padded = states if Kp == K else jnp.concatenate(
+            [states, jnp.broadcast_to(states[:1],
+                                      (Kp - K,) + states.shape[1:])], axis=0)
+        chunks = padded.reshape(Kp // eval_chunk, eval_chunk, -1)
         out = jax.lax.map(lambda s: eval_logll(s, temps), chunks)
-        return {"logll_T": out["logll_T"].reshape((K,) + out["logll_T"].shape[2:]),
-                "per_meas": out["per_meas"].reshape((K,) + out["per_meas"].shape[2:]),
+        return {"logll_T": out["logll_T"].reshape(
+                    (Kp,) + out["logll_T"].shape[2:])[:K],
+                "per_meas": out["per_meas"].reshape(
+                    (Kp,) + out["per_meas"].shape[2:])[:K],
                 "n_solver_fail": out["n_solver_fail"].sum(dtype=jnp.int32)}
 
     return eval_chunked

@@ -10,8 +10,9 @@ TPU re-architecture of the reference driver (reference metropolis.py:42-267):
 * Tempering swaps (reference :204-261) use the precomputed
   (chains x temperatures) log-likelihood matrix instead of re-evaluating
   ll_funcs: a swap permutes two rows of the tiny state/ll arrays.
-* RNG is a keyed stream: iteration k, chain c uses
-  fold_in(fold_in(seed, k), c). Resume-from-checkpoint is bit-exact by
+* RNG is a keyed stream: iteration k derives fold_in(base_key, k), which
+  is split into proposal/acceptance/swap keys and the proposal key split
+  per chain. Resume-from-checkpoint is bit-exact by
   construction (no generator state to restore). This intentionally departs
   from the reference's shared-Generator scheme, where all MPI ranks draw
   IDENTICAL random numbers each iteration (metropolis.py:296,410-411) —
@@ -202,6 +203,20 @@ def run_ensembles_sequential(kernel, states_E, ll_E, k0, keys_E):
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
 
 
+def _even_window(total_iters, checkpoint_freq):
+    """Checkpoint-window length splitting `total_iters` into near-equal
+    windows no longer than `checkpoint_freq`.
+
+    The window scan length is compiled in, so a static
+    min(checkpoint_freq, num_iters) window would run (and discard) up to
+    window-1 tail iterations of PDE solves in the final partial window;
+    equal windows keep one compiled kernel and waste < n_windows
+    iterations total, checkpointing at least as often as requested."""
+    total = max(1, int(total_iters))
+    n_win = -(-total // max(1, int(checkpoint_freq)))
+    return -(-total // n_win)
+
+
 def run_mh_fused(ensembles, like_plan, move_plan, logger, seeds,
                  export_paths=None, dtype=jnp.float64, starting_iter=0,
                  need_initial_state=True, backend="auto", escalate=True):
@@ -242,7 +257,8 @@ def run_mh_fused(ensembles, like_plan, move_plan, logger, seeds,
         [ens.H.states[:, :, max(starting_iter - 1, 0)] for ens in ensembles]
     ), dtype)
 
-    window = min(checkpoint_freq, num_iters)
+    window = _even_window(num_iters - max(1, starting_iter) + 1,
+                          checkpoint_freq)
 
     def _build(esc_mode, mult=E):
         # mult=E: the kernel is traced per-ensemble under vmap, but the
@@ -404,7 +420,8 @@ def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
     if need_initial_state:
         logger.info("Simulating initial state:")
 
-    window = min(checkpoint_freq, num_iters)
+    window = _even_window(num_iters - max(1, starting_iter) + 1,
+                          checkpoint_freq)
 
     def _build(esc_mode):
         return build_mh_kernel(
@@ -547,6 +564,11 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
             ensemble.H.extend(starting_iter)
             ensemble.H.extend(num_iters)
             ensemble.ensemble_fields["num_iters"] = num_iters
+            # Keep the progress marker consistent with the rewound history:
+            # an interrupt before the first new window completes would
+            # otherwise checkpoint zeroed rows [starting_iter, old latest)
+            # as if they were walked.
+            ensemble.latest_iter = starting_iter
         else:
             starting_iter = ensemble.latest_iter
             ensemble.H.extend(num_iters)

@@ -48,6 +48,15 @@ def build_move_plan(param_info, MCMC_fields):
     ub = np.array([param_info["prior_dist"][n][1] for n in names])
     mu_c = param_info.get("do_mu_constraint",
                           MCMC_fields.get("do_mu_constraint", None))
+    if mu_c is not None:
+        # The ambipolar substitution works in log10 space (as does the
+        # reference, trial_move_generation.py:83-85); applying it to a
+        # linear-space mobility would silently corrupt proposals.
+        for mn in ("mu_n", "mu_p"):
+            if mn in idx and not do_log[idx[mn]]:
+                raise ValueError(
+                    f"do_mu_constraint requires do_log[{mn}]=1 (the "
+                    "ambipolar substitution operates on log10 mobilities)")
     return MovePlan(
         do_log=do_log,
         active=active,

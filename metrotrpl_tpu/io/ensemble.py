@@ -124,8 +124,11 @@ class Ensemble:
             uf = dict(MCMC_fields)
             uf["_T"] = ef["_T"][i]
             if "likel2move_ratio" in ef:
+                l2v = ef["likel2move_ratio"]
+                if not isinstance(l2v, dict):  # validated scalar form
+                    l2v = {m: l2v for m in sim_info["meas_types"]}
                 uf["model_uncertainty"] = {
-                    m: max(ef["base_trial_move"]) * ef["likel2move_ratio"][m]
+                    m: max(ef["base_trial_move"]) * l2v[m]
                     for m in sim_info["meas_types"]}
             self.unique_fields.append(uf)
 

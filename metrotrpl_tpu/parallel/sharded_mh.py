@@ -17,9 +17,13 @@ send/recv-based swap negotiation (reference metropolis.py:400-453,
   CANNOT silently replicate the solve batch: partitioning is structural.
   (VERDICT r1 weak #3 asked for exactly this.)
 
-RNG discipline matches the single-chip kernel: iteration k of ensemble e,
-chain c draws from fold_in(fold_in(fold_in(seed, k), e), c), so results are
-independent of the mesh layout.
+RNG discipline: iteration k of ensemble e, chain c draws from
+fold_in(fold_in(fold_in(seed, k), e), c), so results are independent of
+the mesh layout (each device derives its rows' keys locally). Note this
+keyed-per-chain stream is mesh-invariant but intentionally NOT the same
+stream as the single-chip kernel, which splits one iteration key across
+chains (metropolis.py one_iter) — same-seed walks differ between the two
+kernels; both are bit-exact on resume.
 """
 
 from functools import partial

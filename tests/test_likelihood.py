@@ -391,3 +391,51 @@ def test_deferred_escalation_counts_and_rerun_matches_inline():
     # off: all proposals -inf -> nothing accepted; inline: walk proceeds
     assert np.asarray(out_off[5][2]).sum() == 0
     assert np.isfinite(np.asarray(out_in[1])).all()
+
+
+def test_scalar_likel2move_ratio_accepted():
+    """Config validation accepts a numeric likel2move_ratio; the plan and
+    the Ensemble must both honor the scalar form (it used to crash with
+    'float is not subscriptable' in metro())."""
+    sim_info, mcmc, e_data, iniPar = _synth()
+    mcmc = dict(mcmc)
+    del mcmc["model_uncertainty"]
+    mcmc["likel2move_ratio"] = 100.0
+    pi = _param_info()
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
+    np.testing.assert_allclose(plan.sigma, 0.01 * 100.0)
+
+    mcmc["likel2move_ratio"] = {"TRPL": 100.0}
+    plan_d = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
+    np.testing.assert_allclose(plan_d.sigma, plan.sigma)
+
+
+def test_eval_chunked_non_divisible_batch():
+    """Chunked evaluation must stay chunked (and correct) when the batch
+    size is not a multiple of eval_chunk (it used to silently fall back
+    to one full unchunked evaluation)."""
+    sim_info, mcmc, e_data, iniPar = _synth(nx=16, nt=11, t_end=100.0)
+    pi = _param_info()
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
+    K = 5
+    states = jnp.concatenate([_state(pi)] * K, axis=0)
+    temps = jnp.ones(1)
+    full = make_eval_logll(plan)(states, temps)
+    chunked = make_eval_logll(plan, eval_chunk=2)(states, temps)
+    np.testing.assert_allclose(np.asarray(chunked["logll_T"]),
+                               np.asarray(full["logll_T"]), rtol=1e-6)
+    assert chunked["logll_T"].shape == (K, 1)
+
+
+def test_mu_constraint_requires_log_mobilities():
+    """The ambipolar constraint operates in log10 space (as in the
+    reference); combining it with a linear-space mobility must fail
+    loudly instead of silently corrupting proposals."""
+    from metrotrpl_tpu.inference.moves import build_move_plan
+
+    pi = _param_info()
+    pi["do_mu_constraint"] = [20.0, 3.0]
+    pi["do_log"] = dict(pi["do_log"])
+    pi["do_log"]["mu_n"] = 0
+    with pytest.raises(ValueError, match="do_mu_constraint requires"):
+        build_move_plan(pi, {})

@@ -248,3 +248,26 @@ def test_run_ensembles_sequential_matches_vmap(tmp_path):
                                      keys)
     for a, b in zip(jax.tree.leaves(out_v), jax.tree.leaves(out_s)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_resume_rewind_resets_progress_marker(tmp_path):
+    """Resuming with starting_iter < latest_iter must rewind latest_iter
+    too — otherwise an interrupt before the first new window completes
+    would checkpoint zeroed history rows as if they were walked."""
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+        tmp_path, num_iters=10, checkpoint_freq=10)
+    mcmc["output_path"] = str(tmp_path / "c")
+    metro(sim_info, iniPar, e_data, mcmc, pi,
+          export_path="ckpt.pik", seed=5)
+
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+        tmp_path, num_iters=14, checkpoint_freq=14)
+    mcmc["output_path"] = str(tmp_path / "c")
+    mcmc["load_checkpoint"] = "ckpt.pik"
+    mcmc["starting_iter"] = 4
+    ens = metro(sim_info, iniPar, e_data, mcmc, pi,
+                export_path="final.pik", seed=5)
+    # the rewound walk re-walked iterations 4..13 (none left zeroed)
+    assert ens.latest_iter == 14
+    assert np.all(np.isfinite(ens.H.loglikelihood))
+    assert not np.all(ens.H.states[:, :, 4:] == 0)
