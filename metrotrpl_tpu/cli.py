@@ -76,7 +76,9 @@ def cmd_mcmc(args):
     # output_path get disjoint RNG streams AND disjoint CPU{j}-final.pik
     # filenames (no clobbering, no bit-identical duplicate walks).
     jobids = [jobid * n_ens + e for e in range(n_ens)]
-    seeds = [args.seed + j - jobids[0] if args.seed is not None
+    # args.seed + j (NOT j - jobids[0]: that would cancel the per-task
+    # offset and hand every array task identical streams)
+    seeds = [args.seed + j if args.seed is not None
              else (j or 235817049752375780) for j in jobids]
     export_path = f"CPU{jobids[0]}-final.pik"
     metro(sim_info, iniPar, e_data, MCMC_fields, param_info,
@@ -95,7 +97,7 @@ def cmd_mcmc(args):
 def cmd_dense(args):
     from metrotrpl_tpu.inference.dense import bayes, export
     from metrotrpl_tpu.io.logging import start_logging, stop_logging
-    from metrotrpl_tpu.ops.convolve import make_I_tables
+    from metrotrpl_tpu.ops.convolve import load_irf_tables
 
     jobid = _resolve_jobid(args)
     (sim_info, param_info, _meas, MCMC_fields,
@@ -104,13 +106,8 @@ def cmd_dense(args):
         log_dir=MCMC_fields["output_path"], name=f"Dense{jobid}",
         verbose=args.verbose)
     if MCMC_fields.get("irf_convolution", None) is not None:
-        irfs = {}
-        for w in MCMC_fields["irf_convolution"]:
-            if w > 0 and int(w) not in irfs:
-                irfs[int(w)] = np.loadtxt(
-                    os.path.join(args.irf_dir, f"irf_{int(w)}nm.csv"),
-                    delimiter=",")
-        MCMC_fields["_IRF_tables"] = make_I_tables(irfs)
+        MCMC_fields["_IRF_tables"] = load_irf_tables(
+            MCMC_fields["irf_convolution"], args.irf_dir)
     N, P, X = bayes(None, None, iniPar, sim_info, e_data, MCMC_fields,
                     param_info, logger=logger, seed=jobid)
     out = os.path.join(MCMC_fields["output_path"], f"CPU{jobid}")
@@ -122,7 +119,7 @@ def cmd_dense(args):
 def cmd_mle(args):
     from metrotrpl_tpu.inference.mle import mle
     from metrotrpl_tpu.io.logging import start_logging, stop_logging
-    from metrotrpl_tpu.ops.convolve import make_I_tables
+    from metrotrpl_tpu.ops.convolve import load_irf_tables
 
     jobid = _resolve_jobid(args)
     (sim_info, param_info, _meas, MCMC_fields,
@@ -131,13 +128,8 @@ def cmd_mle(args):
         log_dir=MCMC_fields["output_path"], name=f"MLE{jobid}",
         verbose=args.verbose)
     if MCMC_fields.get("irf_convolution", None) is not None:
-        irfs = {}
-        for w in MCMC_fields["irf_convolution"]:
-            if w > 0 and int(w) not in irfs:
-                irfs[int(w)] = np.loadtxt(
-                    os.path.join(args.irf_dir, f"irf_{int(w)}nm.csv"),
-                    delimiter=",")
-        MCMC_fields["_IRF_tables"] = make_I_tables(irfs)
+        MCMC_fields["_IRF_tables"] = load_irf_tables(
+            MCMC_fields["irf_convolution"], args.irf_dir)
     mle(e_data, sim_info, param_info, iniPar, MCMC_fields,
         f"MLE{jobid}-final.pik", logger, maxiter=args.maxiter)
     stop_logging(logger, handler)

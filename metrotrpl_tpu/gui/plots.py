@@ -34,10 +34,16 @@ def histogram_1d(ax, samples, label, bins=96, scale="log", density=True):
     """Posterior marginal histogram; log-spaced bins when scale='log'."""
     samples = np.asarray(samples)
     if scale == "log":
-        samples = samples[samples > 0]
-        edges = np.logspace(np.log10(samples.min()),
-                            np.log10(samples.max()), bins + 1)
-        ax.set_xscale("log")
+        pos = samples[samples > 0]
+        if len(pos) == 0:
+            # all-nonpositive data (e.g. log likelihood with the log-x
+            # default on): fall back to linear bins instead of crashing
+            edges = bins
+        else:
+            samples = pos
+            edges = np.logspace(np.log10(samples.min()),
+                                np.log10(samples.max()), bins + 1)
+            ax.set_xscale("log")
     else:
         edges = bins
     ax.hist(samples, bins=edges, density=density, alpha=0.8)
@@ -49,8 +55,8 @@ def histogram_2d(ax, xs, ys, xlabel, ylabel, bins=96, scale="log"):
     """Joint posterior density in a 2D parameter plane."""
     xs = np.asarray(xs)
     ys = np.asarray(ys)
-    if scale == "log":
-        keep = (xs > 0) & (ys > 0)
+    keep = (xs > 0) & (ys > 0)
+    if scale == "log" and np.any(keep):
         xs, ys = xs[keep], ys[keep]
         xe = np.logspace(np.log10(xs.min()), np.log10(xs.max()), bins + 1)
         ye = np.logspace(np.log10(ys.min()), np.log10(ys.max()), bins + 1)
@@ -92,5 +98,8 @@ def chain_diffusion(states_log10, active_mask):
     """Average squared log10 displacement per iteration per active param
     (reference GUI/window.py:875-902 diagnostic)."""
     d = np.diff(states_log10, axis=-1)
+    # reference pickles store 'active' as int 0/1 — coerce to bool so this
+    # masks rows instead of integer fancy-indexing them
+    active_mask = np.asarray(active_mask, dtype=bool)
     n_active = max(int(np.sum(active_mask)), 1)
     return float(np.sum(d[active_mask] ** 2) / (d.shape[-1] * n_active))

@@ -86,7 +86,14 @@ class QuicksimEntryPopup(Popup):
                 self.vars[k].set(str(v))
 
     def build_tasks(self, burn=0):
+        if self.parent.meta is None:
+            raise RuntimeError(
+                "Load an output file before running quicksim")
         ext = {k: float(v.get()) for k, v in self.vars.items()}
+        # Re-simulate with the MODEL the posterior was fit with (a traps
+        # run silently re-simulated as std would ignore kC/Nt/tauE)
+        ef = self.parent.meta["ensemble"].ensemble_fields
+        model = ef.get("model", "std")
         tasks = []
         for c in self.parent._selected_chains():
             params = {
@@ -96,14 +103,24 @@ class QuicksimEntryPopup(Popup):
                 thickness=ext["thickness"], nx=int(ext["nx"]),
                 final_time=ext["final_time"], nt=int(ext["nt"]),
                 fluence=ext["fluence"], absp=ext["absp"],
-                direction=ext["direction"], params=params))
+                direction=ext["direction"], params=params, model=model))
         return tasks
+
+    def _run_units(self):
+        """The run's own unit-conversion table (ensemble_fields['units']),
+        not the default staub vocabulary."""
+        ef = self.parent.meta["ensemble"].ensemble_fields
+        names = self.parent.meta["names"]
+        units = ef.get("units")
+        if units is None:
+            return None
+        return {n: float(u) for n, u in zip(names, units)}
 
     def launch(self):
         burn = int(float(self.parent.burn_var.get() or 0))
         tasks = self.build_tasks(burn)
         qs = QuicksimManager()
-        qs.simulate(tasks)
+        qs.simulate(tasks, units=self._run_units())
         QuicksimResultPopup(self.parent, qs, tasks)
         self.top.destroy()
 

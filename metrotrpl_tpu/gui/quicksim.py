@@ -30,15 +30,23 @@ class QuicksimTask(NamedTuple):
     model: str = "std"
 
 
-def run_tasks(tasks, scale_factors=None, dtype="float64"):
-    """Solve all tasks as one batch; returns list of (t, sol) arrays."""
+#: Default entry-unit -> internal-unit conversions (the staub vocabulary);
+#: pass the loaded ensemble's per-run table via ``units`` when available.
+DEFAULT_UNITS = {"n0": 1e-21, "p0": 1e-21, "mu_n": 1e5, "mu_p": 1e5,
+                 "ks": 1e12, "Cn": 1e33, "Cp": 1e33, "Sf": 1e-2, "Sb": 1e-2}
+
+
+def run_tasks(tasks, scale_factors=None, dtype="float64", units=None):
+    """Solve all tasks as one batch; returns list of (t, sol) arrays.
+
+    units : optional {param: conversion} from the run's config
+    (ensemble_fields['units']); defaults to the staub table."""
     import jax.numpy as jnp
 
     from metrotrpl_tpu.physics.models import beer_lambert
     from metrotrpl_tpu.solver.forward import make_forward_plan, solve_forward_batch
 
-    uc = {"n0": 1e-21, "p0": 1e-21, "mu_n": 1e5, "mu_p": 1e5, "ks": 1e12,
-          "Cn": 1e33, "Cp": 1e33, "Sf": 1e-2, "Sb": 1e-2}
+    uc = DEFAULT_UNITS if units is None else units
     if not tasks:
         return []
     if len({t.nx for t in tasks}) != 1:
@@ -78,7 +86,7 @@ def run_tasks(tasks, scale_factors=None, dtype="float64"):
     return out
 
 
-def _worker(tasks, scale_factors, queue):
+def _worker(tasks, scale_factors, queue, units=None):
     try:
         # The child must not contend for the accelerator the main process
         # may hold (a second process attaching to the TPU deadlocks); these
@@ -86,7 +94,10 @@ def _worker(tasks, scale_factors, queue):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        results = run_tasks(tasks, scale_factors)
+        # run_tasks defaults to float64 — a fresh spawn child has x64 off
+        # and would silently downcast the stiff solve to float32
+        jax.config.update("jax_enable_x64", True)
+        results = run_tasks(tasks, scale_factors, units=units)
         for i, (t, s) in enumerate(results):
             queue.put((i, t, s, "ok"))
     except Exception as err:  # surface errors to the GUI poller
@@ -102,11 +113,11 @@ class QuicksimManager:
         self.proc = None
         self.queue = None
 
-    def simulate(self, tasks, scale_factors=None):
+    def simulate(self, tasks, scale_factors=None, units=None):
         ctx = mp.get_context("spawn")
         self.queue = ctx.Queue()
         self.proc = ctx.Process(
-            target=_worker, args=(tasks, scale_factors, self.queue))
+            target=_worker, args=(tasks, scale_factors, self.queue, units))
         self.proc.start()
 
     def poll(self):

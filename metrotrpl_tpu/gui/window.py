@@ -69,10 +69,17 @@ def load_ensemble_chains(fname):
     return chains, meta
 
 
-def export_traces(path, chains, param, fmt="csv", burn=0):
+def export_traces(path, chains, param, fmt="csv", burn=0, samples_fn=None):
     """Export one parameter's samples for all chains (reference
-    GUI/window.py:586-873 export feature)."""
-    cols = {c.label: np.asarray(c.data[param])[burn:] for c in chains}
+    GUI/window.py:586-873 export feature).
+
+    samples_fn : optional chain -> samples callable (burn already
+    applied) — lets the Window route secondary parameters through its
+    computing accessor rather than raw chain.data."""
+    if samples_fn is not None:
+        cols = {c.label: np.asarray(samples_fn(c)) for c in chains}
+    else:
+        cols = {c.label: np.asarray(c.data[param])[burn:] for c in chains}
     if fmt == "npy":
         np.save(path, np.stack(list(cols.values())))
         return path
@@ -91,11 +98,14 @@ def export_traces(path, chains, param, fmt="csv", burn=0):
 def export_histogram(path, samples, bins=96, logscale=True):
     """Export (bin_center, density) rows of a marginal histogram."""
     samples = np.asarray(samples, dtype=float)
-    if logscale:
-        samples = samples[samples > 0]
+    pos = samples[samples > 0]
+    if logscale and len(pos):
+        samples = pos
         edges = np.logspace(np.log10(samples.min()),
                             np.log10(samples.max()), bins + 1)
     else:
+        # linear fallback covers all-nonpositive data (e.g. log
+        # likelihood) that log bins cannot represent
         edges = np.linspace(samples.min(), samples.max(), bins + 1)
     dens, edges = np.histogram(samples, bins=edges, density=True)
     centers = 0.5 * (edges[1:] + edges[:-1])
@@ -297,6 +307,15 @@ class Window:
     # ---- actions --------------------------------------------------------
     def loadfile(self, fname):
         chains, meta = load_ensemble_chains(fname)
+        cleared = False
+        if (self.meta is not None
+                and list(meta["names"]) != list(self.meta["names"])):
+            # chains accumulate across loadfile calls but meta is
+            # per-file; a different parameter set cannot be co-plotted,
+            # so start a fresh session instead of mixing
+            self.chains.clear()
+            self.chain_list.delete(0, self.tk.END)
+            cleared = True
         self.chains.extend(chains)
         self.meta = meta
         for c in chains:
@@ -313,8 +332,10 @@ class Window:
         self.xparam.set(meta["names"][1] if len(meta["names"]) > 1
                         else meta["names"][0])
         self.yparam.set(meta["names"][0])
+        note = (" (parameter set changed; previous chains cleared)"
+                if cleared else "")
         self.status.set(f"loaded {len(chains)} chains from "
-                        f"{os.path.basename(fname)}")
+                        f"{os.path.basename(fname)}{note}")
 
     def _selected_chains(self):
         sel = self.chain_list.curselection()
@@ -390,7 +411,9 @@ class Window:
             return
         xp, yp = self.xparam.get(), self.yparam.get()
         if mode == "1D Trace Plot":
-            out = export_traces(path, chains, xp, burn=burn)
+            out = export_traces(
+                path, chains, xp,
+                samples_fn=lambda c: self._samples(c, xp, burn))
         elif mode == "2D Trace Plot":
             out = export_trace2d(path, self._samples(chains[0], xp, burn),
                                  self._samples(chains[0], yp, burn),

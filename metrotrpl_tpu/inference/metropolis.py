@@ -527,7 +527,7 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
     from metrotrpl_tpu.config.data_io import make_dir
     from metrotrpl_tpu.io.ensemble import Ensemble, load_checkpoint
     from metrotrpl_tpu.io.logging import start_logging, stop_logging
-    from metrotrpl_tpu.ops.convolve import make_I_tables
+    from metrotrpl_tpu.ops.convolve import load_irf_tables
 
     make_dir(MCMC_fields["output_path"])
     logger, handler = start_logging(
@@ -583,14 +583,8 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
 
     irf_tables = {}
     if ef.get("irf_convolution", None) is not None:
-        irfs = {}
-        irf_dir = kwargs.get("irf_dir", "IRFs")
-        for w in ef["irf_convolution"]:
-            if w > 0 and int(w) not in irfs:
-                irfs[int(w)] = np.loadtxt(
-                    os.path.join(irf_dir, f"irf_{int(w)}nm.csv"),
-                    delimiter=",")
-        irf_tables = make_I_tables(irfs)
+        irf_tables = load_irf_tables(ef["irf_convolution"],
+                                     kwargs.get("irf_dir", "IRFs"))
     ef["_IRF_tables"] = irf_tables
 
     mcmc_for_plan = dict(MCMC_fields)

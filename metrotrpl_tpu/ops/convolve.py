@@ -67,6 +67,20 @@ def make_I_tables(irfs):
     return tables
 
 
+def load_irf_tables(wavelengths, irf_dir="IRFs"):
+    """Load ``irf_{w}nm.csv`` for each positive wavelength in a config's
+    ``irf_convolution`` list and build the moment tables (the shared
+    entry-point helper for mcmc/dense/mle)."""
+    import os
+
+    irfs = {}
+    for w in wavelengths:
+        if w > 0 and int(w) not in irfs:
+            irfs[int(w)] = np.loadtxt(
+                os.path.join(irf_dir, f"irf_{int(w)}nm.csv"), delimiter=",")
+    return make_I_tables(irfs)
+
+
 def fir_causal_batch(signals, taps):
     """Per-row causal FIR: out[b, k] = sum_j taps[b, j] * signals[b, k - j].
 

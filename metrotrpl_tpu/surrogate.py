@@ -95,7 +95,20 @@ def _load_keras_dense_h5(fname):
     params = []
     with h5py.File(fname, "r") as f:
         root = f["model_weights"] if "model_weights" in f else f
-        names = list(root.keys())
+        # keras records the true layer order in the 'layer_names' attr;
+        # h5py group iteration is alphabetical, which mis-orders
+        # dense_10 before dense_2 once there are 11+ layers
+        if "layer_names" in root.attrs:
+            names = [n.decode() if isinstance(n, bytes) else str(n)
+                     for n in root.attrs["layer_names"]]
+            names = [n for n in names if n in root]
+        else:
+            import re
+
+            def natkey(s):  # dense, dense_1, ..., dense_10 in order
+                return [int(p) if p.isdigit() else p
+                        for p in re.split(r"(\d+)", s)]
+            names = sorted(root.keys(), key=natkey)
 
         def collect(group):
             found = []

@@ -176,7 +176,8 @@ def test_cli_mcmc_ensembles_jobid_mapping(tmp_path):
         assert os.path.exists(p), p
     assert not os.path.exists(str(tmp_path / "out" / "CPU0-final.pik"))
     e6, e7 = (load_checkpoint(p) for p in outs)
-    # distinct seeds (5 and 6) -> distinct walks
+    # distinct seeds (seed + jobid = 11 and 12, disjoint from every other
+    # array task's range) -> distinct walks
     assert not np.array_equal(e6.H.states, e7.H.states)
 
 
