@@ -51,6 +51,10 @@ def get_data(exp_file, ic_flags, MCMC_fields, rng=None):
         y = y + noise_level * rng.standard_normal(len(y))
 
     starts = list(np.where(times == 0)[0]) + [None]
+    if len(starts) == 1:
+        raise ValueError(
+            f"No measurements found in {exp_file}: measurement boundaries "
+            "are rows with time == 0, and the file contains none")
     t_list, y_list, u_list = [], [], []
     for lo, hi in zip(starts[:-1], starts[1:]):
         t_list.append(times[lo:hi])
@@ -74,9 +78,19 @@ def get_data(exp_file, ic_flags, MCMC_fields, rng=None):
             y_list[i] = np.log10(y_abs)
 
     if select is not None:
-        t_list = [t_list[i] for i in range(len(t_list)) if i in select]
-        y_list = [y_list[i] for i in range(len(y_list)) if i in select]
-        u_list = [u_list[i] for i in range(len(u_list)) if i in select]
+        # Honor select ORDER (and duplicates), matching get_initpoints and
+        # finalize_config's grid subsetting. (The reference filters in
+        # file order here, bayes_io.py:124-131, while its get_initpoints
+        # fancy-indexes — internally inconsistent for unsorted selects,
+        # silently pairing data with the wrong grid/initial condition.)
+        for i in select:
+            if not 0 <= i < len(t_list):
+                raise ValueError(
+                    f"select_obs_sets index {i} out of range: {exp_file} "
+                    f"contains {len(t_list)} measurements")
+        t_list = [t_list[i] for i in select]
+        y_list = [y_list[i] for i in select]
+        u_list = [u_list[i] for i in select]
 
     return (t_list, y_list, u_list)
 

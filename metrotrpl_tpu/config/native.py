@@ -73,10 +73,11 @@ def _fittable_from_table(tbl):
     grps = tbl.get("groups")
     if grps is not None:
         grps = [tuple(int(i) for i in g) for g in grps]
-    guesses = tbl.get("guesses")
-    if guesses is None:
-        guesses = [1] * len(inds)
-    return [float(tbl["trial_move"]), inds, grps, list(guesses)]
+    guesses = tbl.get("guesses")  # None when omitted: finalize_config
+    # fills the per-measurement default [1]*num_meas
+    if guesses is not None:
+        guesses = list(guesses)
+    return [float(tbl["trial_move"]), inds, grps, guesses]
 
 
 def read_config_toml(path):
@@ -226,7 +227,8 @@ def write_config_toml(path, grid, param_info, meas_flags, MCMC_fields):
                  "inds": [int(i) for i in v[1]],
                  "groups": (None if v[2] is None
                             else [list(map(int, gg)) for gg in v[2]]),
-                 "guesses": [float(x) for x in v[3]]}
+                 "guesses": (None if v[3] is None
+                             else [float(x) for x in v[3]])}
         lines.append(f"{k} = {_toml_value(v)}")
     lines.append("")
 

@@ -99,8 +99,10 @@ def _parse_fittable(text):
     else:
         raise ValueError(f"Invalid fittable spec: {text!r}")
     inds = parse_values(inds_s.strip("([])"), delimiter=", ", dtype=int)
-    if guesses is None:
-        guesses = [1] * len(inds)
+    # guesses stays None when omitted; finalize_config fills the
+    # per-MEASUREMENT default [1]*num_meas. (The reference defaults to
+    # [1]*len(inds) here, bayes_io.py:403/428/454, then subsets by
+    # measurement id — an IndexError whenever len(inds) < num_meas.)
     c_grps = None if cgrp_s == "None" else parse_tuples(cgrp_s, delimiter="|", dtype=int)
     return [float(move_size), inds, c_grps, guesses]
 
@@ -284,6 +286,8 @@ def finalize_config(grid, param_info, meas_flags, MCMC_fields):
     for fi in ("fittable_fluences", "fittable_absps", "scale_factor"):
         spec = MCMC_fields.get(fi, None)
         if spec is not None:
+            if spec[3] is None:  # omitted guesses: one per MEASUREMENT
+                spec[3] = [1] * grid["num_meas"]
             spec[1] = remap_fittable_inds(spec[1], meas_flags["select_obs_sets"])
             if spec[2] is not None:
                 spec[2] = remap_constraint_grps(spec[2], meas_flags["select_obs_sets"])
@@ -412,7 +416,7 @@ def _write_fittable(f, label, spec):
         f.write(f"{spec[2]}")
     else:
         f.write("|".join(str(tuple(g)) for g in spec[2]))
-    if len(spec) == 4:
+    if len(spec) == 4 and spec[3] is not None:
         f.write(f"\t{_fmt_list(spec[3])}")
     f.write("\n")
 

@@ -28,9 +28,13 @@ def _is_int(x):
     return isinstance(x, (int, np.integer))
 
 
-def check_fittable_fluence(spec):
+def check_fittable_fluence(spec, num_measurements=None):
     """Validate a fittable_fluences / fittable_absps / scale_factor spec:
-    None or [move_size, inds, c_grps(|None), guesses?]."""
+    None or [move_size, inds, c_grps(|None), guesses(|None)?].
+
+    When ``num_measurements`` is given, the fittable indices are also
+    range-checked — an out-of-range index would otherwise be silently
+    dropped by remap_fittable_inds, disabling the fit with no error."""
     if spec is None:
         return True
     if not isinstance(spec, (list, tuple)) or not 3 <= len(spec) <= 4:
@@ -41,6 +45,9 @@ def check_fittable_fluence(spec):
         return False
     if any(not _is_int(i) or i < 0 for i in spec[1]):
         return False
+    if num_measurements is not None and any(
+            i >= num_measurements for i in spec[1]):
+        return False
     if spec[2] is not None:
         if not isinstance(spec[2], (list, tuple)):
             return False
@@ -49,7 +56,7 @@ def check_fittable_fluence(spec):
                 return False
             if any(not _is_int(c) or c < 0 for c in grp):
                 return False
-    if len(spec) == 4:
+    if len(spec) == 4 and spec[3] is not None:
         if not isinstance(spec[3], (list, tuple, np.ndarray)) or len(spec[3]) == 0:
             return False
         if any(not _is_num(g) or g < 0 for g in spec[3]):
@@ -219,7 +226,8 @@ def validate_MCMC_fields(
         raise ValueError(
             f"MCMC control 'model' must be one of {list(SUPPORTED_MODELS)}"
         )
-    if not isinstance(MCMC_fields["solver"], tuple):
+    if (not isinstance(MCMC_fields["solver"], tuple)
+            or len(MCMC_fields["solver"]) == 0):
         raise ValueError(
             "MCMC control 'solver' must be a tuple with at least one element "
             f"- one solver name from {supported_solvers}"
@@ -237,8 +245,13 @@ def validate_MCMC_fields(
     for tolkey in ("rtol", "atol", "hmax"):
         if tolkey in MCMC_fields:
             v = MCMC_fields[tolkey]
-            if not (_is_num(v) and v > 0):
-                raise ValueError(f"{tolkey} must be a non-negative value")
+            # hmax 0 is the odeint "no step limit" sentinel and is legal;
+            # rtol/atol must be strictly positive
+            ok = (_is_num(v) and (v > 0 or (tolkey == "hmax" and v == 0)))
+            if not ok:
+                raise ValueError(f"{tolkey} must be a positive value"
+                                 + (" (or 0 for no step limit)"
+                                    if tolkey == "hmax" else ""))
     for skey in ("likel2move_ratio", "model_uncertainty"):
         if skey in MCMC_fields:
             v = MCMC_fields[skey]
@@ -257,7 +270,8 @@ def validate_MCMC_fields(
     if MCMC_fields["log_y"] not in (0, 1):
         raise ValueError("log_y invalid - must be 0 or 1")
     for fkey in ("scale_factor", "fittable_fluences", "fittable_absps"):
-        if fkey in MCMC_fields and not check_fittable_fluence(MCMC_fields[fkey]):
+        if fkey in MCMC_fields and not check_fittable_fluence(
+                MCMC_fields[fkey], num_measurements):
             raise ValueError(
                 f"Invalid {fkey} - must be None, or a "
                 "[move_size, indices, constraint_groups, guesses] spec"

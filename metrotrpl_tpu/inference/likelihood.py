@@ -178,8 +178,20 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
         l2v = MCMC_fields["likel2move_ratio"]
         if not isinstance(l2v, dict):  # validated scalar form
             l2v = {m: l2v for m in set(meas_types)}
+        missing = set(meas_types) - set(l2v)
+        if missing:
+            raise ValueError(
+                "likel2move_ratio missing measurement type(s) "
+                f"{sorted(missing)}: provide one value per type in "
+                f"{sorted(set(meas_types))}")
         sigma_spec = {m: base_move * l2v[m] for m in set(meas_types)}
     if isinstance(sigma_spec, dict):
+        missing = set(meas_types) - set(sigma_spec)
+        if missing:
+            raise ValueError(
+                "model_uncertainty missing measurement type(s) "
+                f"{sorted(missing)}: provide one value per type in "
+                f"{sorted(set(meas_types))}")
         sigma = np.array([sigma_spec[m] for m in meas_types], dtype=float)
     else:
         sigma = np.full(n_meas, float(sigma_spec))

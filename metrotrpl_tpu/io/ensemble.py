@@ -85,8 +85,13 @@ class Ensemble:
             ef[field] = MCMC_fields.pop(field)
         for field in ("rtol", "atol", "scale_factor", "load_checkpoint",
                       "fittable_fluences", "fittable_absps",
-                      "irf_convolution", "do_mu_constraint"):
+                      "irf_convolution"):
             ef[field] = MCMC_fields.pop(field, None)
+        # both config readers place mu_constraint in param_info (the
+        # reference vocabulary); accept either home so the checkpoint
+        # retains it
+        ef["do_mu_constraint"] = param_info.pop(
+            "do_mu_constraint", MCMC_fields.pop("do_mu_constraint", None))
         ef["temper_freq"] = MCMC_fields.pop("temper_freq", 10)
         if "model_uncertainty" in MCMC_fields and "likel2move_ratio" in MCMC_fields:
             MCMC_fields.pop("likel2move_ratio")
@@ -127,6 +132,12 @@ class Ensemble:
                 l2v = ef["likel2move_ratio"]
                 if not isinstance(l2v, dict):  # validated scalar form
                     l2v = {m: l2v for m in sim_info["meas_types"]}
+                missing = set(sim_info["meas_types"]) - set(l2v)
+                if missing:
+                    raise ValueError(
+                        "likel2move_ratio missing measurement type(s) "
+                        f"{sorted(missing)}: provide one value per type in "
+                        f"{sorted(set(sim_info['meas_types']))}")
                 uf["model_uncertainty"] = {
                     m: max(ef["base_trial_move"]) * l2v[m]
                     for m in sim_info["meas_types"]}
@@ -137,38 +148,60 @@ class Ensemble:
         self.random_state = None
 
     def checkpoint(self, fname, gui_compat=True):
-        """Pickle the ensemble. With gui_compat the emitted class paths are
-        sim_utils.Ensemble / sim_utils.History so the reference GUI loads
-        the file unmodified."""
+        """Pickle the ensemble. With gui_compat the emitted stream
+        references ONLY ``sim_utils.Ensemble`` / ``sim_utils.History``
+        globals plus stdlib reconstructors — no ``metrotrpl_tpu`` names —
+        so a plain ``pickle.load`` in the reference's own environment
+        (GUI/window.py:250-266) works without this package installed."""
         self.H.update(self.ensemble_fields["names"])
         with open(fname, "wb+") as f:
             if gui_compat:
-                _CompatPickler(f).dump(self)
+                _dump_gui_compat(self, f)
             else:
                 pickle.dump(self, f)
 
 
+# Stand-in classes whose pickled GLOBAL path is sim_utils.<name>; at load
+# time they resolve to whatever class lives there (the reference's real
+# containers, or load_checkpoint's shim mapping back to ours).
+_REF_SHIMS = {}
+
+
+def _ref_shim(name):
+    cls = _REF_SHIMS.get(name)
+    if cls is None:
+        cls = type(name, (), {})
+        cls.__module__ = "sim_utils"
+        cls.__qualname__ = name
+        _REF_SHIMS[name] = cls
+    return cls
+
+
 class _CompatPickler(pickle.Pickler):
-    """Pickler that renames our container classes to the reference's module
-    path so its GUI (GUI/window.py:250-266) unpickles them natively."""
+    """Pickler renaming our container classes to the reference's module
+    path via stdlib-only reduces (copyreg._reconstructor + a GLOBAL
+    sim_utils.<name> reference), so the stream is loadable by plain
+    pickle in an environment without metrotrpl_tpu."""
 
     _RENAME = {
-        ("metrotrpl_tpu.io.ensemble", "Ensemble"): ("sim_utils", "Ensemble"),
-        ("metrotrpl_tpu.io.ensemble", "History"): ("sim_utils", "History"),
+        ("metrotrpl_tpu.io.ensemble", "Ensemble"): "Ensemble",
+        ("metrotrpl_tpu.io.ensemble", "History"): "History",
     }
 
     def reducer_override(self, obj):
+        import copyreg
+
         cls = type(obj)
-        key = (cls.__module__, cls.__name__)
-        if key in self._RENAME:
-            mod, name = self._RENAME[key]
-            return (_reconstruct_compat, (mod, name, obj.__dict__))
+        name = self._RENAME.get((cls.__module__, cls.__name__))
+        if name is not None:
+            return (copyreg._reconstructor,
+                    (_ref_shim(name), object, None), dict(obj.__dict__))
         return NotImplemented
 
 
 def _reconstruct_compat(module, name, state):
-    """Unpickle helper: find the target class wherever it lives (theirs or
-    ours) and restore attributes."""
+    """Unpickle helper kept for checkpoints written by earlier versions
+    (their streams reference this function by name)."""
     try:
         import importlib
         cls = getattr(importlib.import_module(module), name)
@@ -177,6 +210,26 @@ def _reconstruct_compat(module, name, state):
     obj = cls.__new__(cls)
     obj.__dict__.update(state)
     return obj
+
+
+def _dump_gui_compat(obj, f):
+    """Dump with sim_utils-global class names. pickle's save_global
+    verifies the class is importable at dump time, so a shim sim_utils
+    module exposing the stand-in classes is installed for the duration."""
+    import sys
+    import types
+
+    shim = None
+    if "sim_utils" not in sys.modules:
+        shim = types.ModuleType("sim_utils")
+        shim.Ensemble = _ref_shim("Ensemble")
+        shim.History = _ref_shim("History")
+        sys.modules["sim_utils"] = shim
+    try:
+        _CompatPickler(f).dump(obj)
+    finally:
+        if shim is not None:
+            del sys.modules["sim_utils"]
 
 
 def load_checkpoint(fname):

@@ -51,6 +51,11 @@ def do_irf_convolution_reference(t, y, table, t_irf, time_max_shift=False):
     rt = np.arange(0, t[-1] + dt_irf / 4, dt_irf / 2)
     if rt[-1] > t[-1]:
         rt[-1] = t[-1]
+    if len(rt) % 2 == 0:
+        # convolve needs 2*nk+1 points; drop the trailing half-step like
+        # the likelihood layer does (the reference omits this and its
+        # slices silently misalign on even-length grids, laplace.py:178)
+        rt = rt[:-1]
     ry = np.interp(rt, t, y)
     cy = convolve_reference(ry, table)
     ct = rt[::2].copy()

@@ -254,3 +254,52 @@ def test_get_initpoints(tmp_path):
     assert pts.shape == (3, 3)
     pts_sel = get_initpoints(str(path), {"select_obs_sets": [2]})
     np.testing.assert_allclose(pts_sel, [[3e12, 6e4, 1]])
+
+
+def test_get_data_select_order_matches_initpoints(tmp_path):
+    """Unsorted select_obs_sets must reorder data the same way
+    get_initpoints and the grid subsetting do (the reference filters data
+    in FILE order while fancy-indexing initpoints — silently mispairing
+    measurements with grids for unsorted selects)."""
+    rows = "0,1,0.1\n1,2,0.1\n0,3,0.1\n1,4,0.1\n0,5,0.1\n1,6,0.1\n"
+    path = tmp_path / "d.csv"
+    path.write_text(rows)
+    flags = {"time_cutoff": None, "select_obs_sets": [2, 0]}
+    times, vals, _ = get_data(str(path), flags, {"log_y": 0})
+    np.testing.assert_allclose(vals[0], [5, 6])   # measurement 2 first
+    np.testing.assert_allclose(vals[1], [1, 2])
+    ic = tmp_path / "ic.csv"
+    ic.write_text("1e12,6e4,1\n2e12,6e4,1\n3e12,6e4,1\n")
+    pts = get_initpoints(str(ic), flags)
+    np.testing.assert_allclose(pts[:, 0], [3e12, 1e12])  # same order
+
+    with pytest.raises(ValueError, match="out of range"):
+        get_data(str(path), {"time_cutoff": None,
+                             "select_obs_sets": [7]}, {"log_y": 0})
+
+
+def test_get_data_no_time_zero_rows_fails_loudly(tmp_path):
+    path = tmp_path / "d.csv"
+    path.write_text("0.5,1,0.1\n1,2,0.1\n")
+    with pytest.raises(ValueError, match="time == 0"):
+        get_data(str(path), {"time_cutoff": None,
+                             "select_obs_sets": None}, {"log_y": 0})
+
+
+def test_fittable_omitted_guesses_default_per_measurement(tmp_path):
+    """'Fittable fluences: 0.1 [inds] None' (no guesses) must default to
+    one guess PER MEASUREMENT — the reference defaults to [1]*len(inds)
+    and then indexes by measurement id, an IndexError whenever
+    len(inds) < num_meas (bayes_io.py:403/428/454 vs :523)."""
+    sim_info, pi, meas, mcmc = _example_config()
+    sim_info = dict(sim_info)
+    mcmc = dict(mcmc)
+    mcmc["fittable_fluences"] = [0.1, [1, 2], None, None]
+    p = str(tmp_path / "cfg.txt")
+    generate_config_script_file(p, sim_info, {k: (dict(v) if
+                                isinstance(v, dict) else v) for k, v in
+                                pi.items()}, dict(meas), mcmc)
+    grid, pi2, meas2, mcmc2 = read_config_script_file(p)
+    ff = mcmc2["fittable_fluences"]
+    assert list(ff[3]) == [1] * grid["num_meas"]
+    assert any(n.startswith("_f") for n in pi2["names"])

@@ -110,6 +110,12 @@ def test_checkpoint_roundtrip_and_gui_compat(tmp_path):
     assert back.latest_iter == ens.latest_iter
     assert back.ensemble_fields["names"] == ["x0"]
 
+    # the stream must not reference this package at all — the reference
+    # GUI's plain pickle.load runs in an environment without it
+    with open(path, "rb") as f:
+        raw = f.read()
+    assert b"metrotrpl_tpu" not in raw
+
     # unpickles with a reference-style top-level sim_utils module
     import pickle
     import sys
