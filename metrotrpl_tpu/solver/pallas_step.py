@@ -36,14 +36,14 @@ from metrotrpl_tpu.physics.models import (
     N_COMP,
     RHS_PLANES,
     ScaledParams,
-    _excess_product,
+    observables_planes,
 )
 from metrotrpl_tpu.solver.sdirk import SDIRK_SCHEMES, sdirk_factors, sdirk_stages
 
 N_PARAM_FIELDS = len(ScaledParams._fields)
 
 
-def _solve_kernel(dt_ref, y0_ref, par_ref, dxobs_ref, pl_ref, tr_ref, *,
+def _solve_kernel(dt_ref, y0_ref, par_ref, dx_ref, pl_ref, tr_ref, *,
                   model, scheme_name, newton_iters, n_steps, n_ramp,
                   refactor_every):
     """Kernel: integrate one batch tile through all steps.
@@ -51,7 +51,9 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dxobs_ref, pl_ref, tr_ref, *,
     dt_ref    (Bt, n_steps)    per-step sizes
     y0_ref    (C, Bt, nx)      initial scaled state
     par_ref   (Bt, NP)         stacked ScaledParams fields
-    dxobs_ref (Bt, 4)          cols: dx, diff_n, diff_p, pad
+    dx_ref    (Bt, 4)          cell sizes in col 0 (cols 1-3 zero pad:
+                               the lane-4 block shape is the one this
+                               kernel has always lowered through Mosaic)
     pl_ref    (Bt, n_steps+1)  scaled TRPL observable per knot (out)
     tr_ref    (Bt, n_steps+1)  scaled TRTS observable per knot (out)
     """
@@ -62,10 +64,7 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dxobs_ref, pl_ref, tr_ref, *,
     rhs_fn = RHS_PLANES[model]
     rhs = lambda y: rhs_fn(y, p)
 
-    dxobs = dxobs_ref[:]
-    dxv = dxobs[:, 0]
-    dn = dxobs[:, 1][:, None]
-    dp_ = dxobs[:, 2][:, None]
+    dxv = dx_ref[:][:, 0]
 
     # state as a tuple of (Bt, nx) planes: every value in the step loop is
     # a fully tiled (sublane=Bt, lane=nx) array — a stacked (Bt, C, nx)
@@ -86,12 +85,10 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dxobs_ref, pl_ref, tr_ref, *,
         return jnp.sum(dt_all * (step_iota == k).astype(dtype), axis=1)
 
     def observed(y, k):
-        dN = y[0]
-        dD = y[2] if model == "traps" else y[1]   # antisymmetric split
-        dP = dN + dD
-        M = _excess_product(dN, dP, p)
-        pl_col = dxv * jnp.sum(M, axis=-1)
-        tr_col = dxv * jnp.sum(dn * dN + dp_ * dP, axis=-1)
+        # shared observable math (physics.models) — the diff coefficients
+        # come straight from p, so the kernel cannot drift from the
+        # op-graph backend
+        pl_col, tr_col = observables_planes(y, p, dxv, model)
         # select, NOT multiply-by-mask: a post-decay step whose state has
         # blown up in f32 (tail past the min_y clamp — masked by design in
         # the full solve path) yields a NaN column, and NaN * 0 = NaN
@@ -163,12 +160,7 @@ def integrate_observables_pallas(params, y0, dts, dx, model="std",
         n_ramp = None
 
     par = jnp.stack([jnp.reshape(f, (B,)) for f in params], axis=1)  # (B,NP)
-    dxobs = jnp.stack([
-        jnp.asarray(dx, dtype),
-        jnp.reshape(params.diff_n, (B,)),
-        jnp.reshape(params.diff_p, (B,)),
-        jnp.zeros(B, dtype),
-    ], axis=1)                                                       # (B, 4)
+    dx2 = jnp.pad(jnp.asarray(dx, dtype)[:, None], ((0, 0), (0, 3)))  # (B,4)
     y0_t = jnp.moveaxis(y0, 0, 1)          # (C, B, nx)
     dt_b = dts.T                           # (B, n_steps)
 
@@ -202,5 +194,5 @@ def integrate_observables_pallas(params, y0, dts, dx, model="std",
             jax.ShapeDtypeStruct((B, n_steps + 1), dtype),
         ],
         interpret=interpret,
-    )(dt_b, y0_t, par, dxobs)
+    )(dt_b, y0_t, par, dx2)
     return pl_t.T, tr_t.T
