@@ -356,3 +356,35 @@ def test_nn_surrogate_likelihood_path(tmp_path):
     st2 = st.at[0, 1].mul(3.0)
     ll2 = float(ev(st2, jnp.asarray([1.0]))["logll_T"][0, 0])
     assert ll2 < ll
+
+
+def test_keras_h5_layer_order_11plus_layers(tmp_path):
+    """_load_keras_dense_h5 must honor the file's layer_names attribute:
+    alphabetical group iteration orders dense_10 before dense_2, silently
+    scrambling networks with 11+ layers."""
+    import h5py
+
+    from metrotrpl_tpu.surrogate import _load_keras_dense_h5
+
+    rng = np.random.default_rng(3)
+    names = ["dense"] + [f"dense_{i}" for i in range(1, 12)]
+    widths = [14] + list(rng.integers(2, 9, len(names) - 1)) + [4]
+    path = str(tmp_path / "w.h5")
+    with h5py.File(path, "w") as f:
+        g = f.create_group("model_weights")
+        g.attrs["layer_names"] = np.array([n.encode() for n in names])
+        for i, n in enumerate(names):
+            lg = g.create_group(n).create_group(n)
+            lg.create_dataset(
+                "kernel:0", data=rng.standard_normal(
+                    (widths[i], widths[i + 1])).astype(np.float32))
+            lg.create_dataset(
+                "bias:0", data=rng.standard_normal(
+                    widths[i + 1]).astype(np.float32))
+    params = _load_keras_dense_h5(path)
+    assert len(params) == len(names)
+    # chained shapes prove true layer order (alphabetical order would
+    # mismatch at dense_10 vs dense_2 and break the chain)
+    for i, (k, b) in enumerate(params):
+        assert k.shape == (widths[i], widths[i + 1]), i
+        assert b.shape == (widths[i + 1],)
