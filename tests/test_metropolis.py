@@ -277,3 +277,22 @@ def test_resume_rewind_resets_progress_marker(tmp_path):
     assert ens.latest_iter == 14
     assert np.all(np.isfinite(ens.H.loglikelihood))
     assert not np.all(ens.H.states[:, :, 4:] == 0)
+
+
+def test_even_window_sizes():
+    """Checkpoint windows split the walk near-equally (one compiled scan
+    length, no discarded-tail iterations) and never exceed the requested
+    checkpoint frequency."""
+    from metrotrpl_tpu.inference.metropolis import _even_window
+
+    assert _even_window(99, 1000) == 99       # single window
+    assert _even_window(1000, 1000) == 1000
+    assert _even_window(1499, 1000) == 750    # 2 even windows, not 1000+499
+    assert _even_window(2500, 1000) == 834
+    assert _even_window(1, 1000) == 1
+    for total in (1, 7, 999, 1000, 1001, 12345):
+        for cpf in (1, 10, 1000):
+            w = _even_window(total, cpf)
+            assert 1 <= w <= cpf
+            n_win = -(-total // w)
+            assert n_win * w - total < n_win  # waste < one iter per window
