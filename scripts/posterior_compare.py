@@ -29,19 +29,18 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NX = 32
 NT = 101
 T_END = 1000.0
 LENGTHS = [311.0, 2000.0]
-UC = {"n0": 1e-21, "p0": 1e-21, "mu_n": 1e5, "mu_p": 1e5, "ks": 1e12,
-      "Cn": 1e33, "Cp": 1e33, "Sf": 1e-2, "Sb": 1e-2}
-NAMES = ["n0", "p0", "mu_n", "mu_p", "ks", "Cn", "Cp", "Sf", "Sb",
-         "tauN", "tauP", "eps", "Tm"]
-TRUE = {"n0": 1e8, "p0": 3e15, "mu_n": 20, "mu_p": 20, "ks": 4.8e-11,
-        "Cn": 4.4e-29, "Cp": 4.4e-29, "Sf": 10, "Sb": 10,
-        "tauN": 511, "tauP": 871, "eps": 10, "Tm": 300}
+from metrotrpl_tpu.workloads import (  # noqa: E402
+    STAUB_NAMES as NAMES,
+    STAUB_TRUE as TRUE,
+    STAUB_UC as UC,
+)
+
 ACTIVE = ("ks", "tauN", "Sf")
 START = {"ks": 2e-11, "tauN": 300.0, "Sf": 30.0}
 PRIOR = {"ks": (1e-12, 1e-9), "tauN": (1, 4000), "Sf": (1e-1, 1e3)}
@@ -104,8 +103,17 @@ def run_oracle_mh(t, vals, n_iters):
         # (reference trial_move_generation.py:51-97)
         for _ in range(100):
             xn = {k: x[k] + WIDTH * (2 * rng.random() - 1) for k in ACTIVE}
-            if all(PRIOR[k][0] < 10 ** xn[k] < PRIOR[k][1] for k in ACTIVE):
-                break
+            if not all(PRIOR[k][0] < 10 ** xn[k] < PRIOR[k][1]
+                       for k in ACTIVE):
+                continue
+            # the tpu kernel's approve_move also screens
+            # |log10 tauN - log10 tauP| <= 2 (reference tn_tp_close);
+            # apply the same support here so both samplers target the
+            # same distribution (inactive for the current dataset,
+            # which keeps cached oracle samples valid)
+            if "tauN" in xn and abs(xn["tauN"] - np.log10(TRUE["tauP"])) > 2:
+                continue
+            break
         trial = dict(state)
         trial.update({k: 10 ** xn[k] for k in ACTIVE})
         ll_new = oracle_logll(t, vals, trial)
@@ -172,8 +180,8 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0):
         print(f"  tpu MH {k}/{n_iters} "
               f"({n_chains * k / (time.perf_counter() - clock):.0f} "
               "walker-steps/s)", flush=True)
-    h = np.concatenate(hist_states, axis=0)    # (iters, K, P)
-    acc = np.concatenate(hist_accept, axis=0)
+    h = np.concatenate(hist_states, axis=0)[:n_iters]   # (iters, K, P)
+    acc = np.concatenate(hist_accept, axis=0)[:n_iters]
     samples = {p: h[:, :, NAMES.index(p)] for p in ACTIVE}
     return samples, float(acc.mean())
 
@@ -201,8 +209,8 @@ def _cached_oracle_mh(t, vals, n_iters):
 
 
 def main():
+    oracle_only = "--oracle-only" in sys.argv[1:]
     argv = [a for a in sys.argv[1:] if a != "--oracle-only"]
-    oracle_only = len(argv) < len(sys.argv) - 1
     n_oracle = int(argv[0]) if len(argv) > 0 else 2500
     n_tpu = int(argv[1]) if len(argv) > 1 else 20000
     hmax = float(argv[2]) if len(argv) > 2 else 16.0
