@@ -131,6 +131,12 @@ def run_oracle_mh(t, vals, n_iters):
 
 def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0):
     import jax
+
+    # honor an explicit JAX_PLATFORMS (e.g. =cpu to run the compiled
+    # kernel host-side) over the sitecustomize platform pin
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     from metrotrpl_tpu.inference.likelihood import build_likelihood_plan
