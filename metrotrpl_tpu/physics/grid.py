@@ -44,7 +44,7 @@ class TimeGrid(NamedTuple):
 
 
 def plan_time_grid(t_out, hmax=4.0, h0=1e-3, growth=1.25, refine=1,
-                   align_outputs=True):
+                   align_outputs=True, tail_growth=1.0, tail_block=1):
     """Build a solver step grid.
 
     align_outputs=True lands a knot exactly on every output time (solver
@@ -64,6 +64,11 @@ def plan_time_grid(t_out, hmax=4.0, h0=1e-3, growth=1.25, refine=1,
         ramp; the ramp caps the step envelope until it reaches hmax.
     refine : extra uniform subdivision factor of every interval
         (accuracy/convergence knob).
+    tail_growth : > 1 lets the step KEEP growing geometrically past hmax
+        (decoupled mode only): the decay timescale lengthens with t, so the
+        plateau's constant hmax over-resolves the tail. Growth is applied
+        once per ``tail_block`` steps (h constant within a block — the
+        chord-compatible stepped-geometric schedule).
     """
     t_out = np.asarray(t_out, dtype=np.float64)
     if t_out[0] != 0:
@@ -85,19 +90,41 @@ def plan_time_grid(t_out, hmax=4.0, h0=1e-3, growth=1.25, refine=1,
         h = h * growth
     ramp = np.array(ramp[1:])
 
-    if align_outputs:
-        base = np.unique(np.concatenate([t_out, ramp]))
+    if tail_growth > 1.0 and not align_outputs:
+        # Stepped-geometric tail: continue the ramp past hmax, multiplying
+        # h by tail_growth once per tail_block steps. Subdivide by `refine`
+        # as in the envelope path below.
+        knots = [0.0]
+        h = h0
+        while h < hmax and knots[-1] + h < t_final:
+            for s in range(1, int(refine) + 1):
+                knots.append(knots[-1] + h / refine)
+            h = h * growth
+        h = float(hmax)
+        n_in_block = 0
+        while t_final - knots[-1] > 1e-9 * t_final:
+            step = min(h, t_final - knots[-1])
+            for s in range(1, int(refine) + 1):
+                knots.append(knots[-1] + step / refine)
+            n_in_block += 1
+            if n_in_block % int(tail_block) == 0:
+                h = h * tail_growth
+        knots[-1] = t_final  # absorb float accumulation drift
+        t_solver = np.array(knots)
     else:
-        base = np.unique(np.concatenate([[0.0, t_final], ramp]))
+        if align_outputs:
+            base = np.unique(np.concatenate([t_out, ramp]))
+        else:
+            base = np.unique(np.concatenate([[0.0, t_final], ramp]))
 
-    # Subdivide any gap > hmax (and apply the uniform `refine` factor).
-    knots = [base[0]]
-    for a, b in zip(base[:-1], base[1:]):
-        n_sub = max(int(np.ceil((b - a) / hmax)), 1) * int(refine)
-        step = (b - a) / n_sub
-        for s in range(1, n_sub + 1):
-            knots.append(a + step * s)
-    t_solver = np.array(knots)
+        # Subdivide any gap > hmax (and apply the uniform `refine` factor).
+        knots = [base[0]]
+        for a, b in zip(base[:-1], base[1:]):
+            n_sub = max(int(np.ceil((b - a) / hmax)), 1) * int(refine)
+            step = (b - a) / n_sub
+            for s in range(1, n_sub + 1):
+                knots.append(a + step * s)
+        t_solver = np.array(knots)
 
     if align_outputs:
         # map each output time to its knot index (exact membership by

@@ -105,7 +105,7 @@ class ForwardPlan(NamedTuple):
 def make_forward_plan(lengths, nxes, meas_types, times_list, hmax=4.0,
                       model="std", scheme="sdirk3", newton_iters=2,
                       h0=1e-3, growth=1.25, refine=1, align_outputs=True,
-                      refactor_every=1):
+                      refactor_every=1, tail_growth=1.0, tail_block=1):
     """Build a ForwardPlan for a measurement set.
 
     times_list : list of per-measurement output-time arrays (must start at 0).
@@ -125,7 +125,8 @@ def make_forward_plan(lengths, nxes, meas_types, times_list, hmax=4.0,
         )
     nx = int(nxes[0])
     grids = [plan_time_grid(t, hmax=hmax, h0=h0, growth=growth, refine=refine,
-                            align_outputs=align_outputs)
+                            align_outputs=align_outputs,
+                            tail_growth=tail_growth, tail_block=tail_block)
              for t in times_list]
     n_steps = max(len(g.dt) for g in grids)
     nt = max(len(g.out_idx) for g in grids)
@@ -337,7 +338,8 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
 def solve_single(init_dN, raw_params, thickness, nx, t_out, meas="TRPL",
                  model="std", hmax=4.0, scheme="sdirk3", newton_iters=2,
                  dtype=jnp.float64, refine=1, h0=1e-3, growth=1.25,
-                 align_outputs=True, refactor_every=1, backend="xla"):
+                 align_outputs=True, refactor_every=1, backend="xla",
+                 tail_growth=1.0, tail_block=1):
     """Convenience single-simulation solve (tests, GUI quicksim).
 
     Mirrors the oracle's :func:`solve_reference` interface.
@@ -346,7 +348,8 @@ def solve_single(init_dN, raw_params, thickness, nx, t_out, meas="TRPL",
         [thickness], [nx], [meas], [np.asarray(t_out)], hmax=hmax,
         model=model, scheme=scheme, newton_iters=newton_iters, refine=refine,
         h0=h0, growth=growth, align_outputs=align_outputs,
-        refactor_every=refactor_every)
+        refactor_every=refactor_every,
+        tail_growth=tail_growth, tail_block=tail_block)
     params_b = {k: jnp.asarray([v], dtype) for k, v in raw_params.items()}
     sol = solve_forward_batch(
         jnp.asarray(init_dN, dtype)[None],

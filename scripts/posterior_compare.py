@@ -48,13 +48,52 @@ WIDTH = 0.02           # log10 proposal half-width
 SIGMA = 0.05           # model uncertainty
 UNC = 0.05             # data uncertainty (log10)
 SEED = 20260816
+#: per-measurement (fluence [cm^-2], absorption alpha [cm^-1])
+FLU = [(2.12e11, 6e4)] * len(LENGTHS)
+PRESET = "3p"
 
 
-def _ic(thickness):
-    dx = thickness / NX
-    x = np.linspace(dx / 2, thickness - dx / 2, NX)
+def apply_preset(name):
+    """Mutate the module workload constants. Presets:
+
+    * ``3p`` (default) — 2 curves, 3 active params (the r02/r03 artifact).
+    * ``full`` — the full staub shape: 6 curves (3 fluences x 2
+      thicknesses, the shipped fluence file), ALL 10 active parameters
+      (reference MCMC_script_writer.py active set). nx stays 32 and
+      t <= 1000 ns to keep the serial LSODA oracle tractable on this
+      host's single CPU core; the fixed-step solver is HARSHER at coarse
+      nx, so agreement here bounds the full-fidelity case.
+    """
+    global NT, T_END, LENGTHS, FLU, ACTIVE, START, PRIOR, WIDTH, PRESET
+    if name == "3p":
+        return
+    if name != "full":
+        raise SystemExit(f"unknown preset {name!r} (3p | full)")
+    from metrotrpl_tpu.workloads import STAUB_INACTIVE, STAUB_PRIOR
+    PRESET = "full"
+    NT = 101
+    T_END = 1000.0
+    LENGTHS = [311.0, 2000.0] * 3
+    flu = np.loadtxt(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "Inputs",
+        "staub_MAPI_threepower_twothick_fluences.csv"), delimiter=",")
+    FLU = [(row[0], row[1]) for row in flu]
+    ACTIVE = tuple(n for n in NAMES if n not in STAUB_INACTIVE)
+    # mild off-truth starts (seeded): +/- 0.15 decades on every active param
+    rng = np.random.default_rng(SEED + 7)
+    START = {n: float(TRUE[n] * 10 ** rng.uniform(-0.15, 0.15))
+             for n in ACTIVE}
+    PRIOR = {n: STAUB_PRIOR[n] for n in ACTIVE}
+    WIDTH = 0.01  # reference trial_move default (MCMC_script_writer.py)
+
+
+def _ic(m):
+    L = LENGTHS[m]
+    dx = L / NX
+    x = np.linspace(dx / 2, L - dx / 2, NX)
     from metrotrpl_tpu.oracle.scipy_reference import beer_lambert
-    return beer_lambert(2.12e11 * 1e-14, 6e4 * 1e-7, x)
+    f, a = FLU[m]
+    return beer_lambert(f * 1e-14, a * 1e-7, x)
 
 
 def make_dataset():
@@ -64,8 +103,8 @@ def make_dataset():
     t = np.linspace(0, T_END, NT)
     rng = np.random.default_rng(SEED)
     vals = []
-    for L in LENGTHS:
-        pl = solve_reference(_ic(L), L, NX, t, pm)
+    for m, L in enumerate(LENGTHS):
+        pl = solve_reference(_ic(m), L, NX, t, pm)
         vals.append(np.log10(pl) + rng.normal(0, UNC, NT))
     return t, vals
 
@@ -77,9 +116,9 @@ def oracle_logll(t, vals, state):
 
     pm = {k: v * UC.get(k, 1) for k, v in state.items()}
     ll = 0.0
-    for L, v in zip(LENGTHS, vals):
+    for m, (L, v) in enumerate(zip(LENGTHS, vals)):
         try:
-            pl = solve_reference(_ic(L), L, NX, t, pm)
+            pl = solve_reference(_ic(m), L, NX, t, pm)
         except Exception:
             return -np.inf
         if not np.all(np.isfinite(pl)) or np.any(pl <= 0):
@@ -107,11 +146,16 @@ def run_oracle_mh(t, vals, n_iters):
                        for k in ACTIVE):
                 continue
             # the tpu kernel's approve_move also screens
-            # |log10 tauN - log10 tauP| <= 2 (reference tn_tp_close);
-            # apply the same support here so both samplers target the
-            # same distribution (inactive for the current dataset,
-            # which keeps cached oracle samples valid)
-            if "tauN" in xn and abs(xn["tauN"] - np.log10(TRUE["tauP"])) > 2:
+            # |log10 tauN - log10 tauP| <= 2 (reference tn_tp_close) and
+            # p0 > n0 (reference p0_greater); apply the same support here
+            # so both samplers target the same distribution. (Both are
+            # no-ops for the current presets' priors — the 3p cached
+            # oracle samples stay valid.)
+            ltn = xn.get("tauN", np.log10(state["tauN"]))
+            ltp = xn.get("tauP", np.log10(state["tauP"]))
+            if abs(ltn - ltp) > 2:
+                continue
+            if 10 ** xn.get("p0", np.log10(state["p0"])) <= state["n0"]:
                 continue
             break
         trial = dict(state)
@@ -129,7 +173,7 @@ def run_oracle_mh(t, vals, n_iters):
     return samples, n_acc / n_iters
 
 
-def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0):
+def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0, refactor=1):
     import jax
 
     # honor an explicit JAX_PLATFORMS (e.g. =cpu to run the compiled
@@ -152,14 +196,16 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0):
         "prior_dist": {n: PRIOR.get(n, (1e-32, 1e32)) for n in NAMES},
         "trial_move": {n: WIDTH for n in NAMES},
     }
-    sim_info = {"lengths": LENGTHS, "nx": [NX] * 2,
-                "meas_types": ["TRPL"] * 2, "num_meas": 2}
+    M = len(LENGTHS)
+    sim_info = {"lengths": LENGTHS, "nx": [NX] * M,
+                "meas_types": ["TRPL"] * M, "num_meas": M}
     mcmc = {"ini_mode": "fluence", "model": "std", "log_y": 1,
             "model_uncertainty": SIGMA, "hard_bounds": 1}
-    iniPar = np.array([[2.12e11, 6e4, 1]] * 2)
-    e_data = ([t] * 2, vals, [np.full(NT, UNC)] * 2)
+    iniPar = np.array([[f, a, 1] for f, a in FLU])
+    e_data = ([t] * M, vals, [np.full(NT, UNC)] * M)
     plan = build_likelihood_plan(sim_info, param_info, mcmc, e_data, iniPar,
-                                 hmax=hmax, align_outputs=False)
+                                 hmax=hmax, align_outputs=False,
+                                 refactor_every=refactor)
     mp = build_move_plan(param_info, mcmc)
     base_move = np.array([WIDTH if n in ACTIVE else 0.0 for n in NAMES])
     temps = np.ones(n_chains)
@@ -201,7 +247,8 @@ def _cached_oracle_mh(t, vals, n_iters):
 
     consts = repr((NX, NT, T_END, LENGTHS, sorted(TRUE.items()), ACTIVE,
                    sorted(START.items()), sorted(PRIOR.items()),
-                   WIDTH, SIGMA, UNC))
+                   WIDTH, SIGMA, UNC)
+                  + ((FLU,) if PRESET != "3p" else ()))
     tag = hashlib.sha1(consts.encode()).hexdigest()[:10]
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          f".oracle_mh_{n_iters}_{SEED}_{tag}.npz")
@@ -217,9 +264,18 @@ def _cached_oracle_mh(t, vals, n_iters):
 def main():
     oracle_only = "--oracle-only" in sys.argv[1:]
     argv = [a for a in sys.argv[1:] if a != "--oracle-only"]
+    if "--preset" in argv:
+        i = argv.index("--preset")
+        apply_preset(argv[i + 1])
+        del argv[i:i + 2]
     n_oracle = int(argv[0]) if len(argv) > 0 else 2500
     n_tpu = int(argv[1]) if len(argv) > 1 else 20000
     hmax = float(argv[2]) if len(argv) > 2 else 16.0
+    refactor = 1
+    if "--refactor" in argv:
+        i = argv.index("--refactor")
+        refactor = int(argv[i + 1])
+        del argv[i:i + 2]
     outname = argv[3] if len(argv) > 3 else "POSTERIOR_r02.md"
     t, vals = make_dataset()
     if oracle_only:
@@ -227,7 +283,8 @@ def main():
         _cached_oracle_mh(t, vals, n_oracle)
         return
     print("running tpu MH...", flush=True)
-    tpu_samples, tpu_acc = run_tpu_mh(t, vals, n_tpu, hmax=hmax)
+    tpu_samples, tpu_acc = run_tpu_mh(t, vals, n_tpu, hmax=hmax,
+                                      refactor=refactor)
     print("running oracle MH...", flush=True)
     oracle_samples, oracle_acc = _cached_oracle_mh(t, vals, n_oracle)
 
@@ -237,7 +294,7 @@ def main():
         f"# Posterior agreement — {os.path.splitext(outname)[0]}",
         "",
         "Cross-implementation posterior comparison on a shared noisy",
-        f"synthetic dataset (2 TRPL curves, nx={NX}, nt={NT}, "
+        f"synthetic dataset ({len(LENGTHS)} TRPL curves, nx={NX}, nt={NT}, "
         f"t<={T_END:.0f} ns,",
         f"noise sigma={UNC} in log10, model uncertainty {SIGMA}). Active:",
         f"{', '.join(ACTIVE)}; starts off-truth at "
@@ -248,7 +305,10 @@ def main():
         f"burn-in {burn_o},",
         f"  acceptance {oracle_acc:.2f}.",
         "* **tpu MH** — this framework's compiled kernel (fast solver",
-        f"  mode, hmax={hmax:g}), 8 untempered chains x {n_tpu} "
+        f"  mode, hmax={hmax:g}"
+        + (f", chord refactor_every={refactor}" if refactor > 1
+           else "")
+        + f"), 8 untempered chains x {n_tpu} "
         f"iterations, burn-in "
         f"{burn_t},",
         f"  acceptance {tpu_acc:.2f}.",
@@ -278,7 +338,9 @@ def main():
         + (" (PASS, z < 1)." if worst < 1 else " threshold EXCEEDED."),
         "",
         "Reproduce: `python scripts/posterior_compare.py "
-        f"{n_oracle} {n_tpu} {hmax:g} {outname}`.",
+        f"{n_oracle} {n_tpu} {hmax:g} {outname}"
+        + (f" --preset {PRESET}" if PRESET != "3p" else "")
+        + (f" --refactor {refactor}" if refactor > 1 else "") + "`.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", outname)

@@ -309,3 +309,32 @@ def test_pallas_interpret_chord_matches_xla():
     # f32 reductions
     np.testing.assert_allclose(np.asarray(sol_p), np.asarray(sol_x),
                                rtol=2e-5)
+
+
+def test_tail_growth_grid():
+    """Stepped-geometric tail (tail_growth): fewer steps, positive monotone
+    knots ending exactly at t_final; tail_growth=1 stays bit-identical to
+    the flat-plateau grid; refine subdivides every step."""
+    from metrotrpl_tpu.physics.grid import plan_time_grid
+
+    t_out = np.linspace(0, 2000, 201)
+    flat = plan_time_grid(t_out, hmax=48.0, align_outputs=False)
+    same = plan_time_grid(t_out, hmax=48.0, align_outputs=False,
+                          tail_growth=1.0, tail_block=1)
+    assert np.array_equal(flat.dt, same.dt)
+    assert np.array_equal(flat.out_idx, same.out_idx)
+
+    tg = plan_time_grid(t_out, hmax=48.0, align_outputs=False,
+                        tail_growth=1.5, tail_block=4)
+    assert len(tg.dt) < len(flat.dt)
+    assert np.all(tg.dt > 0)
+    assert abs(tg.t_solver[-1] - 2000.0) < 1e-6
+    assert np.all(np.diff(tg.t_solver) > 0)
+    # outputs bracketed: every output time lies within its knot pair
+    lo = tg.t_solver[tg.out_idx]
+    hi = tg.t_solver[tg.out_idx + 1]
+    assert np.all(lo <= t_out + 1e-9) and np.all(t_out <= hi + 1e-9)
+
+    r2 = plan_time_grid(t_out, hmax=48.0, align_outputs=False,
+                        tail_growth=1.5, tail_block=4, refine=2)
+    assert len(r2.dt) == 2 * len(tg.dt)
