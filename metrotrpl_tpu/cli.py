@@ -196,7 +196,7 @@ def cmd_write_example(args):
         # validated for this workload (accuracy scripts/probe_r3_cheap.py,
         # posterior docs/POSTERIOR_r03_h48.md); default keeps the
         # reference writer's solver choice verbatim
-        **({"solver": ("sdirk",), "hmax": 48.0}
+        **({"solver": ("sdirk",), "hmax": 48.0, "refactor_every": 4}
            if getattr(args, "fast", False) else {"solver": ("solveivp",)}),
         "model": "std",
         "model_uncertainty": 1,
@@ -366,7 +366,8 @@ def main(argv=None):
             sp.add_argument(
                 "--fast", action="store_true",
                 help="write the TPU-native fast solver config "
-                     "(Solver name: sdirk, hmax 48 — the headline-"
+                     "(Solver name: sdirk, hmax 48, chord "
+                     "refactor_every 4 — the headline-"
                      "benchmark mode) instead of reference solveivp")
         sp.add_argument("--init-cond", default=None)
         sp.add_argument("--measurement", default=None)

@@ -217,6 +217,8 @@ def parse_config_script_file(path):
                     MCMC_fields["atol"] = float(value)
                 elif key.startswith("Solver hmax"):
                     MCMC_fields["hmax"] = float(value)
+                elif key.startswith("Solver refactor_every"):
+                    MCMC_fields["refactor_every"] = int(value)
                 elif key.startswith("Init mode"):
                     MCMC_fields["ini_mode"] = value
                 elif key.startswith("Likelihood-to-trial-move"):
@@ -547,6 +549,11 @@ def generate_config_script_file(
         if "hmax" in MCMC_fields:
             comment(f, "Solver maximum time stepsize")
             f.write(f"Solver hmax: {MCMC_fields['hmax']}\n")
+        if "refactor_every" in MCMC_fields:
+            comment(f, "Chord-mode Newton refactorization period "
+                       "(sdirk constant-dt plateau)")
+            f.write("Solver refactor_every: "
+                    f"{MCMC_fields['refactor_every']}\n")
         comment(f, "Initial condition mode: density | fluence")
         f.write(f"Init mode: {MCMC_fields['ini_mode']}\n")
         if "likel2move_ratio" in MCMC_fields and "model_uncertainty" in MCMC_fields:

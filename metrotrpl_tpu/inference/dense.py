@@ -91,7 +91,8 @@ def bayes(N, P, init_params, sim_params, e_data, sim_flags, param_info,
     plan = build_likelihood_plan(
         sim_params, param_info, flags, e_data, init_params,
         irf_tables=flags.get("_IRF_tables"),
-        hmax=hm, align_outputs=align)
+        hmax=hm, align_outputs=align,
+        refactor_every=int(flags.get("refactor_every", 1)))
     import jax
     # auto backend: dense chunks are far past the VMEM spill cliff, where
     # the fused Pallas kernel holds ~3300 solves/s vs the op-graph's ~700

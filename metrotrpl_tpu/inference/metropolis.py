@@ -614,6 +614,8 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
         scheme=kwargs.get("scheme", "sdirk3"),
         newton_iters=kwargs.get("newton_iters", 2),
         hmax=hmax_kw, align_outputs=align_outputs,
+        refactor_every=int(kwargs.get("refactor_every")
+                           or MCMC_fields.get("refactor_every", 1)),
         # the refined-grid plan is needed whenever any escalation mode is
         # on (the deferred re-run kernel uses it)
         refine=refine, escalate=bool(escalate))

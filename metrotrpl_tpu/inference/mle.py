@@ -43,7 +43,8 @@ def mle(e_data, sim_params, param_info, init_params, sim_flags, export_path,
     plan = build_likelihood_plan(
         sim_params, param_info, flags, e_data, init_params,
         irf_tables=flags.get("_IRF_tables"),
-        hmax=hm, align_outputs=align)
+        hmax=hm, align_outputs=align,
+        refactor_every=int(flags.get("refactor_every", 1)))
     import jax
     ev = jax.jit(make_eval_logll(plan, dtype=dtype))
     temps = jnp.asarray([1.0], dtype)

@@ -22,14 +22,17 @@ def main():
     from metrotrpl_tpu.inference.moves import build_move_plan
 
     hmax = float(sys.argv[1]) if len(sys.argv) > 1 else 48.0
-    print(f"device: {jax.devices()[0]} hmax={hmax:g}", flush=True)
+    refactor = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    print(f"device: {jax.devices()[0]} hmax={hmax:g} F={refactor}",
+          flush=True)
     K = 8
     window = 100
     base_move = np.full(len(NAMES), 0.01)
     temps = 2.0 ** np.arange(K)
 
     _, states, _, plan = build_eval(K, "auto", None, hmax=hmax,
-                                    align_outputs=False)
+                                    align_outputs=False,
+                                    refactor_every=refactor)
     param_info = {
         "names": NAMES, "unit_conversions": UC,
         "do_log": {n: 1 for n in NAMES}, "active": {n: 1 for n in NAMES},

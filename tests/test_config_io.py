@@ -303,3 +303,24 @@ def test_fittable_omitted_guesses_default_per_measurement(tmp_path):
     ff = mcmc2["fittable_fluences"]
     assert list(ff[3]) == [1] * grid["num_meas"]
     assert any(n.startswith("_f") for n in pi2["names"])
+
+
+def test_solver_refactor_every_roundtrip_and_validation(tmp_path):
+    """`Solver refactor_every` (chord-mode Newton refactor period) writes,
+    reads back as int, and rejects non-positive values."""
+    simPar, param_info, meas_flags, MCMC_fields = _example_config()
+    MCMC_fields["solver"] = ("sdirk",)
+    MCMC_fields["hmax"] = 48.0
+    MCMC_fields["refactor_every"] = 4
+    path = str(tmp_path / "config_chord.txt")
+    generate_config_script_file(path, simPar, param_info, meas_flags,
+                                MCMC_fields)
+    _, _, _, mc2 = read_config_script_file(path)
+    assert mc2["refactor_every"] == 4
+    assert mc2["hmax"] == pytest.approx(48.0)
+
+    from metrotrpl_tpu.config.validate import validate_MCMC_fields
+    bad = dict(mc2)
+    bad["refactor_every"] = 0
+    with pytest.raises(ValueError, match="refactor_every"):
+        validate_MCMC_fields(bad, 3)
