@@ -117,6 +117,17 @@ def resolve_solver_mode(MCMC_fields, default_hmax, hmax=None,
         align_outputs = not fast
     if hmax is None:
         hmax = MCMC_fields.get("hmax", 16.0 if fast else default_hmax)
+    if hmax == 0:
+        # the reference's odeint "no step limit" sentinel
+        # (bayes_validate.py hmax=0): an adaptive integrator picks its own
+        # steps, but a fixed-step scheme needs a finite bound — fall back
+        # to the mode default rather than crash in grid planning.
+        import logging
+        logging.getLogger("MCMC").warning(
+            "Solver hmax=0 (adaptive 'no step limit' sentinel) is not "
+            "representable in the fixed-step scheme; using hmax=%s.",
+            16.0 if fast else default_hmax)
+        hmax = 16.0 if fast else default_hmax
     return hmax, align_outputs
 
 
@@ -219,6 +230,8 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
             raise NotImplementedError(
                 "density-mode initial profiles require a uniform nx")
         hm = hmax if hmax is not None else MCMC_fields.get("hmax", 4.0)
+        if hm == 0:  # odeint "no step limit" sentinel — see resolve_solver_mode
+            hm = 4.0
         fwd = []
         for nx_val in sorted(set(nx_list)):
             idx = np.array([m for m in range(n_meas)
@@ -596,6 +609,8 @@ def _make_eval_nn(plan, dtype):
     thick = jnp.asarray(plan.thickness, dtype)
     init_profiles = jnp.asarray(plan.init_profiles, dtype)
     scale_idx = jnp.asarray(plan.scale_idx)
+    fluence_idx = jnp.asarray(plan.fluence_idx)
+    absp_idx = jnp.asarray(plan.absp_idx)
     pidx = plan.param_idx
 
     feat_names = ("p0", "mu_n", "mu_p", "ks", "Cn", "Cp", "Sf", "Sb",
@@ -605,8 +620,13 @@ def _make_eval_nn(plan, dtype):
         K = states.shape[0]
         cols = [jnp.repeat(states[:, pidx[n]], M) for n in feat_names]
         cols.append(jnp.repeat(1.0 / states[:, pidx["eps"]], M))
-        cols.append(jnp.tile(init_profiles[:, 0], K))
-        cols.append(jnp.tile(init_profiles[:, 1], K))
+        # fittable _f/_a multipliers apply before NN feature assembly,
+        # exactly as the reference multiplies iniPar[0]/iniPar[1]
+        # (trial_move_evaluation.py:39-51) before forward_solver.py:214-219
+        f_mult = _gather_or_one(states, fluence_idx)          # (K, M)
+        a_mult = _gather_or_one(states, absp_idx)
+        cols.append((init_profiles[None, :, 0] * f_mult).reshape(K * M))
+        cols.append((init_profiles[None, :, 1] * a_mult).reshape(K * M))
         cols.append(jnp.tile(thick, K))
         feats = jnp.stack(cols, axis=1)                       # (K*M, 14)
         coefs = nn.postprocess(nn.apply(nn.preprocess(feats)))
@@ -617,13 +637,30 @@ def _make_eval_nn(plan, dtype):
         scale_shift = jnp.log10(s_fact).reshape(K * M)
 
         valid = jnp.tile(exp_mask, (K, 1))
-        err2 = (jnp.log10(jnp.abs(sol)) + scale_shift[:, None]
-                - jnp.tile(exp_vals, (K, 1))) ** 2
+        b_vals = jnp.tile(exp_vals, (K, 1))
+
+        # negative-tolerance + force_min_y run for the surrogate too — the
+        # reference applies one_sim_likelihood:117-140 to every solver's
+        # output, NN included.
+        n_valid = jnp.sum(valid, axis=1)
+        n_neg = jnp.sum((sol < 0) & valid, axis=1)
+        fail = (n_neg >= NEGATIVE_FRAC_TOL * n_valid) | (n_valid == 0)
+        sol = jnp.abs(sol)
+        if plan.force_min_y:
+            vals_min = jnp.min(jnp.where(valid, b_vals, jnp.inf), axis=1)
+            min_y = 10.0 ** (vals_min - scale_shift)
+            i_final = jnp.sum((sol > min_y[:, None]) & valid, axis=1)
+            pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+            clamp = valid & (pos >= i_final[:, None])
+            sol = jnp.where(clamp, min_y[:, None], sol)
+
+        err2 = (jnp.log10(sol) + scale_shift[:, None] - b_vals) ** 2
         err2 = jnp.where(valid, err2, 0.0)
         denom = (jnp.tile(sigma2, K)[:, None, None] * temps[None, None, :]
                  + jnp.tile(exp_uncs2, (K, 1))[:, :, None])
         ll = -jnp.sum(err2[:, :, None] / denom, axis=1)
         ll = jnp.where(jnp.isnan(ll), -jnp.inf, ll)
+        ll = jnp.where(fail[:, None], -jnp.inf, ll)
         per_meas = ll.reshape(K, M, -1)
         return {"logll_T": jnp.sum(per_meas, axis=1), "per_meas": per_meas,
                 "n_solver_fail": jnp.zeros((), jnp.int32)}

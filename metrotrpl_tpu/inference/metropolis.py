@@ -236,6 +236,13 @@ def run_mh_fused(ensembles, like_plan, move_plan, logger, seeds,
     ensembles : list of io.ensemble.Ensemble (mutated in place).
     seeds : list of E RNG seeds (reference jobid semantics, main.py:36).
     export_paths : per-ensemble checkpoint filenames.
+
+    This is :func:`run_mh`'s structural twin with an extra E axis; the
+    window loop / deferred-escalation / history-scatter logic is kept in
+    sync by tests (test_metro_n_ensembles_matches_separate_runs). Two
+    deliberate differences: no profile_dir (profile single-ensemble runs)
+    and no shard_batch (fused mode targets one chip; multi-chip runs
+    shard chains via run_mh's shard_batch instead).
     """
     E = len(ensembles)
     if export_paths is None:
@@ -570,9 +577,14 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
             # as if they were walked.
             ensemble.latest_iter = starting_iter
         else:
-            starting_iter = ensemble.latest_iter
+            # A num_iters smaller than the checkpoint's progress truncates
+            # the history; the walk then has nothing left to do. Clamping
+            # starting_iter keeps the windowed loop a clean no-op instead
+            # of indexing past the truncated arrays.
+            starting_iter = min(ensemble.latest_iter, num_iters)
             ensemble.H.extend(num_iters)
             ensemble.ensemble_fields["num_iters"] = num_iters
+            ensemble.latest_iter = starting_iter
         need_initial_state = False
 
     ef = ensemble.ensemble_fields

@@ -47,6 +47,10 @@ def plan_time_grid(t_out, hmax=4.0, h0=1e-3, growth=1.25, refine=1,
                    align_outputs=True, tail_growth=1.0, tail_block=1):
     """Build a solver step grid.
 
+    hmax must be a positive finite step bound; callers translate the
+    reference's hmax=0 "no step limit" sentinel before reaching here
+    (inference/likelihood.py resolve_solver_mode).
+
     align_outputs=True lands a knot exactly on every output time (solver
     step count then scales with the OUTPUT density — the reference's
     dense-output behavior). align_outputs=False decouples them: the step
@@ -77,6 +81,11 @@ def plan_time_grid(t_out, hmax=4.0, h0=1e-3, growth=1.25, refine=1,
         raise ValueError("Need at least two output times")
     if np.any(np.diff(t_out) <= 0):
         raise ValueError("Output times must be strictly increasing")
+    if not (np.isfinite(hmax) and hmax > 0):
+        raise ValueError(
+            f"plan_time_grid needs a positive finite hmax (got {hmax}); "
+            "the hmax=0 'no step limit' sentinel must be resolved by the "
+            "caller")
 
     t_final = float(t_out[-1])
     # True geometric early-time knots: 0, h0, h0(1+g), ... until the step

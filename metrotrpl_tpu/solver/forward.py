@@ -142,7 +142,21 @@ def make_forward_plan(lengths, nxes, meas_types, times_list, hmax=4.0,
         n_ramp = (int(np.max(np.nonzero(any_changed)[0])) + 2
                   if any_changed.any() else 0)
         if n_ramp >= n_steps:
-            n_ramp = None  # no constant tail; chord mode degenerates
+            # no constant-dt tail; chord mode degenerates to per-step
+            # refactorization. This is what a stepped-geometric tail
+            # (tail_growth > 1) produces: dt changes once per tail_block
+            # block to the very end, so there is no plateau for the chord
+            # to reuse a factorization over — warn, since the caller asked
+            # for both and silently gets neither chord's speedup.
+            import logging
+            logging.getLogger("MCMC").warning(
+                "refactor_every=%d requested but the step grid has no "
+                "constant-dt plateau%s; refactorizing every step.",
+                int(refactor_every),
+                (" (stepped-geometric tail_growth=%g keeps dt changing "
+                 "blockwise to t_final)" % tail_growth
+                 if tail_growth and tail_growth > 1.0 else ""))
+            n_ramp = None
         else:
             # round the plateau length up to a multiple of the refactor
             # period (extra steps repeat the final dt; outputs unaffected)

@@ -338,3 +338,32 @@ def test_tail_growth_grid():
     r2 = plan_time_grid(t_out, hmax=48.0, align_outputs=False,
                         tail_growth=1.5, tail_block=4, refine=2)
     assert len(r2.dt) == 2 * len(tg.dt)
+
+
+def test_plan_time_grid_rejects_nonpositive_hmax():
+    """The odeint hmax=0 'no step limit' sentinel must be resolved by
+    callers (resolve_solver_mode); plan_time_grid itself requires a
+    positive finite bound."""
+    from metrotrpl_tpu.physics.grid import plan_time_grid
+
+    t = np.linspace(0, 10, 11)
+    for bad in (0.0, -1.0, np.inf):
+        with pytest.raises(ValueError, match="hmax"):
+            plan_time_grid(t, hmax=bad)
+
+
+def test_chord_with_geometric_tail_degenerates_loudly(caplog):
+    """tail_growth > 1 leaves no constant-dt plateau, so chord mode
+    (refactor_every > 1) falls back to per-step refactorization with a
+    warning instead of silently."""
+    import logging
+
+    from metrotrpl_tpu.solver.forward import make_forward_plan
+
+    t = np.linspace(0, 2000, 101)
+    with caplog.at_level(logging.WARNING, logger="MCMC"):
+        plan = make_forward_plan(
+            [311.0], [24], ["TRPL"], [t], hmax=48.0, align_outputs=False,
+            refactor_every=4, tail_growth=1.3, tail_block=4)
+    assert plan.n_ramp is None
+    assert any("no constant-dt plateau" in r.message for r in caplog.records)

@@ -296,3 +296,25 @@ def test_even_window_sizes():
             assert 1 <= w <= cpf
             n_win = -(-total // w)
             assert n_win * w - total < n_win  # waste < one iter per window
+
+
+def test_resume_with_smaller_num_iters_truncates_cleanly(tmp_path):
+    """Resuming a checkpoint with num_iters below the checkpoint's
+    progress must truncate and no-op, not index past the truncated
+    history arrays."""
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+        tmp_path, num_iters=10, checkpoint_freq=10)
+    mcmc["output_path"] = str(tmp_path / "c")
+    metro(sim_info, iniPar, e_data, mcmc, pi,
+          export_path="ckpt.pik", seed=5)
+
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+        tmp_path, num_iters=6, checkpoint_freq=6)
+    mcmc["output_path"] = str(tmp_path / "c")
+    mcmc["load_checkpoint"] = "ckpt.pik"
+    ens = metro(sim_info, iniPar, e_data, mcmc, pi,
+                export_path="final.pik", seed=5)
+    assert ens.latest_iter == 6
+    assert ens.H.accept.shape[1] == 6
+    assert ens.H.states.shape[2] == 6
+    assert np.all(np.isfinite(ens.H.loglikelihood))

@@ -388,3 +388,124 @@ def test_keras_h5_layer_order_11plus_layers(tmp_path):
     for i, (k, b) in enumerate(params):
         assert k.shape == (widths[i], widths[i + 1]), i
         assert b.shape == (widths[i + 1],)
+
+
+def _nn_fixture(tmp_path):
+    rng = np.random.default_rng(1)
+    nn = NeuralNetwork()
+    nn.params = [(jnp.asarray(rng.standard_normal((14, 8)) * 0.3),
+                  jnp.asarray(rng.standard_normal(8) * 0.1)),
+                 (jnp.asarray(rng.standard_normal((8, 4)) * 0.3),
+                  jnp.asarray(rng.standard_normal(4) * 0.1))]
+    nn.model_scales = np.array([np.zeros(14), np.ones(14) * 20,
+                                np.zeros(4), np.ones(4)], dtype=object)
+    wpath = str(tmp_path / "w.npz")
+    spath = str(tmp_path / "s.npy")
+    nn.save_npz(wpath)
+    np.save(spath, nn.model_scales, allow_pickle=True)
+    sim_info = {"lengths": [311.0], "nx": [24], "meas_types": ["TRPL"],
+                "num_meas": 1}
+    return nn, wpath, spath, sim_info
+
+
+def _nn_param_info(names):
+    return {
+        "names": names,
+        "unit_conversions": dict(UC),
+        "do_log": {n: 1 for n in names},
+        "active": {n: 1 for n in names},
+        "init_guess": {n: TRUE.get(n, 1.0) for n in names},
+        "prior_dist": {n: (1e-30, 1e30) for n in names},
+        "trial_move": {n: 0.01 for n in names},
+    }
+
+
+def test_nn_surrogate_honors_fittable_fluences(tmp_path):
+    """The _f/_a state multipliers must reach the NN feature vector — the
+    reference applies them to iniPar (trial_move_evaluation.py:39-51)
+    before NN feature assembly (forward_solver.py:214-219)."""
+    from metrotrpl_tpu.inference.likelihood import (
+        build_likelihood_plan,
+        make_eval_logll,
+    )
+
+    nn, wpath, spath, sim_info = _nn_fixture(tmp_path)
+    t = np.linspace(0, 100, 21)
+    e_data = ([t], [np.zeros(len(t))], [np.full(len(t), 0.05)])
+    temps = jnp.asarray([1.0])
+    base = [TRUE[n] for n in TRUE]
+
+    mcmc = {"ini_mode": "fluence", "model": "std", "log_y": 1,
+            "model_uncertainty": 1, "solver": ("NN", wpath, spath),
+            "fittable_fluences": [0.1, np.array([0]), None, [1.0]]}
+    plan = build_likelihood_plan(
+        sim_info, _nn_param_info(list(TRUE) + ["_f0"]), mcmc, e_data,
+        np.array([[2.12e11, 6e4, 1]]))
+    ev = make_eval_logll(plan)
+    ll1 = float(ev(jnp.asarray([base + [1.0]], jnp.float64),
+                   temps)["logll_T"][0, 0])
+    ll3 = float(ev(jnp.asarray([base + [3.0]], jnp.float64),
+                   temps)["logll_T"][0, 0])
+    assert ll1 != ll3, "_f0 has no effect on the NN likelihood"
+
+    # _f0 = 3 must equal a plain NN plan whose input fluence is tripled
+    mcmc2 = {"ini_mode": "fluence", "model": "std", "log_y": 1,
+             "model_uncertainty": 1, "solver": ("NN", wpath, spath)}
+    plan2 = build_likelihood_plan(
+        sim_info, _nn_param_info(list(TRUE)), mcmc2, e_data,
+        np.array([[3 * 2.12e11, 6e4, 1]]))
+    ev2 = make_eval_logll(plan2)
+    ll_direct = float(ev2(jnp.asarray([base], jnp.float64),
+                          temps)["logll_T"][0, 0])
+    np.testing.assert_allclose(ll3, ll_direct, rtol=1e-12)
+
+
+def test_nn_surrogate_force_min_y(tmp_path):
+    """force_min_y clamps the surrogate's decay tail exactly like the
+    PDE path (reference applies one_sim_likelihood:136-140 to every
+    solver's output, NN included)."""
+    from metrotrpl_tpu.inference.likelihood import (
+        build_likelihood_plan,
+        make_eval_logll,
+    )
+
+    nn, wpath, spath, sim_info = _nn_fixture(tmp_path)
+    t = np.linspace(0, 100, 21)
+    base = [TRUE[n] for n in TRUE]
+    feats = np.array([[TRUE["p0"], TRUE["mu_n"], TRUE["mu_p"], TRUE["ks"],
+                       TRUE["Cn"], TRUE["Cp"], TRUE["Sf"], TRUE["Sb"],
+                       TRUE["tauN"], TRUE["tauP"], 1 / TRUE["eps"],
+                       2.12e11, 6e4, 311.0]])
+    curve = np.log10(np.asarray(nn.predict(t, feats)))
+    assert curve[-1] < curve[0]  # a decay, so the clamp has a tail to act on
+    # data floor sits mid-decay -> the model tail dips below min(data)
+    vals = np.maximum(curve, curve[len(t) // 2])
+    e_data = ([t], [vals], [np.full(len(t), 0.05)])
+    temps = jnp.asarray([1.0])
+
+    lls = {}
+    for fmy in (0, 1):
+        mcmc = {"ini_mode": "fluence", "model": "std", "log_y": 1,
+                "model_uncertainty": 1, "solver": ("NN", wpath, spath),
+                "force_min_y": fmy}
+        plan = build_likelihood_plan(
+            sim_info, _nn_param_info(list(TRUE)), mcmc, e_data,
+            np.array([[2.12e11, 6e4, 1]]))
+        ev = make_eval_logll(plan)
+        lls[fmy] = float(ev(jnp.asarray([base], jnp.float64),
+                            temps)["logll_T"][0, 0])
+    assert np.isfinite(lls[0]) and np.isfinite(lls[1])
+    # clamping the tail to min(data) removes its residual -> higher logll
+    assert lls[1] > lls[0]
+
+
+def test_resolve_solver_mode_hmax_zero_sentinel():
+    """hmax=0 (odeint 'no step limit') is legal config; the fixed-step
+    scheme maps it to the mode default instead of crashing in grid
+    planning."""
+    from metrotrpl_tpu.inference.likelihood import resolve_solver_mode
+
+    hm, align = resolve_solver_mode({"solver": ("odeint",), "hmax": 0}, 4.0)
+    assert hm == 4.0 and align
+    hm, align = resolve_solver_mode({"solver": ("sdirk",), "hmax": 0}, 4.0)
+    assert hm == 16.0 and not align
