@@ -81,11 +81,18 @@ def cmd_mcmc(args):
     seeds = [args.seed + j if args.seed is not None
              else (j or 235817049752375780) for j in jobids]
     export_path = f"CPU{jobids[0]}-final.pik"
+    mesh_shape = None
+    if getattr(args, "mesh", None):
+        d_e, _, d_c = args.mesh.lower().partition("x")
+        mesh_shape = (int(d_e), int(d_c))
     metro(sim_info, iniPar, e_data, MCMC_fields, param_info,
           verbose=args.verbose, export_path=export_path,
-          logger_name=f"Ensemble{jobid}", seed=seeds[0], seeds=seeds,
+          logger_name=f"Ensemble{jobid}", seed=seeds[0],
+          # sharded runs use ONE shared seed (per-ensemble streams derive
+          # by fold_in inside the kernel — mh_core.py RNG discipline)
+          seeds=None if mesh_shape else seeds,
           export_paths=[f"CPU{j}-final.pik" for j in jobids],
-          irf_dir=args.irf_dir, n_ensembles=n_ens)
+          irf_dir=args.irf_dir, n_ensembles=n_ens, mesh_shape=mesh_shape)
     if n_ens > 1:
         outs = ", ".join(f"CPU{j}-final.pik" for j in jobids)
         print(f"Done. Outputs in {MCMC_fields['output_path']}: {outs}")
@@ -248,6 +255,77 @@ def cmd_write_example(args):
         print(f"Wrote synthetic measurement data: {mpath}")
 
 
+def cmd_write_real_example(args):
+    """Generate a config fitting the vendored REAL measured staub MAPI
+    dataset (the reference's actual scientific use case):
+    `Inputs/real_staub_aug_corr_renoised.csv` — 3 excitation powers at
+    311 nm, 141 points to 4248 ns each, absolute-units TRPL — with
+    density-mode initial profiles from `Inputs/real_staub_input.csv`
+    (reference Inputs/ assets; see docs/REAL_DATA.md walkthrough).
+
+    --irf adds detector-IRF convolution with the vendored 745 nm table
+    (near the MAPI emission wavelength). The dataset's ~30 ns binning
+    makes the 4.7 ns-wide IRF numerically almost an identity, so it is
+    off by default; the flag exists to exercise the full pipeline on
+    real data."""
+    from metrotrpl_tpu.config import generate_config_script_file
+
+    args.out = _resolve_out(args)
+    names = ["n0", "p0", "mu_n", "mu_p", "ks", "Cn", "Cp", "Sf", "Sb",
+             "tauN", "tauP", "eps", "Tm"]
+    n_meas = 3
+    simPar = {"lengths": [311] * n_meas, "nx": [128] * n_meas,
+              "meas_types": ["TRPL"] * n_meas, "num_meas": n_meas}
+    param_info = {
+        "names": names,
+        "unit_conversions": {"n0": 1e-21, "p0": 1e-21, "mu_n": 1e5,
+                             "mu_p": 1e5, "ks": 1e12, "Cn": 1e33,
+                             "Cp": 1e33, "Sf": 1e-2, "Sb": 1e-2, "Tm": 1},
+        "do_log": {n: 1 for n in names},
+        "active": {n: (0 if n in ("n0", "eps", "Tm") else 1) for n in names},
+        # reference initial guesses (Inputs/mcmc0.txt Param Info section)
+        "init_guess": {"n0": 1e8, "p0": 3e15, "mu_n": 20, "mu_p": 20,
+                       "ks": 4.8e-11, "Cn": 4.4e-29, "Cp": 4.4e-29,
+                       "Sf": 10, "Sb": 10, "tauN": 511, "tauP": 871,
+                       "eps": 10, "Tm": 300},
+        "prior_dist": {"n0": (0, np.inf), "p0": (1e14, 1e16),
+                       "mu_n": (1e0, 1e2), "mu_p": (1e0, 1e2),
+                       "ks": (1e-11, 1e-9), "Cn": (1e-29, 1e-27),
+                       "Cp": (1e-29, 1e-27), "Sf": (1e-4, 1e4),
+                       "Sb": (1e-4, 1e4), "tauN": (1, 1500),
+                       "tauP": (1, 3000), "eps": (0, np.inf),
+                       "Tm": (0, np.inf)},
+        "trial_move": {n: 0.01 for n in names},
+    }
+    meas_fields = {"time_cutoff": [0, np.inf], "select_obs_sets": None}
+    MCMC_fields = {
+        "init_cond_path": args.init_cond or os.path.join(
+            "Inputs", "real_staub_input.csv"),
+        "measurement_path": args.measurement or os.path.join(
+            "Inputs", "real_staub_aug_corr_renoised.csv"),
+        "output_path": args.output or os.path.join("bay_outputs", "real0"),
+        "ini_mode": "density",
+        "num_iters": args.num_iters,
+        **({"solver": ("sdirk",), "hmax": 48.0, "refactor_every": 4}
+           if getattr(args, "fast", False) else {"solver": ("solveivp",)}),
+        "model": "std",
+        "model_uncertainty": 1,
+        "log_y": 1,
+        "scale_factor": None,
+        "irf_convolution": ([745] * n_meas if getattr(args, "irf", False)
+                            else None),
+        "parallel_tempering": [1., 2., 4., 8., 16., 32., 64., 128.],
+        "temper_freq": 10,
+        "hard_bounds": 1,
+        "force_min_y": 0,
+        "checkpoint_freq": 1000,
+        "load_checkpoint": None,
+    }
+    generate_config_script_file(args.out, simPar, param_info, meas_fields,
+                                MCMC_fields, verbose=True)
+    print(f"Wrote {args.out}")
+
+
 def cmd_write_pa_example(args):
     """Generate the 'pa' toy-problem config (reference pa_toy_writer.py:
     1D multi-well potential, tempering ladder [0.05, 0.3, 2])."""
@@ -349,12 +427,20 @@ def main(argv=None):
                 help="independent MH replicas fused through one compiled "
                      "kernel (TPU aggregate-throughput optimum); each "
                      "gets seed+e and its own CPU{e}-final.pik")
+            sp.add_argument(
+                "--mesh", default=None, metavar="ExC",
+                help="run the multi-chip production driver over an "
+                     "(ensembles x chains) device mesh, e.g. --mesh 2x4 "
+                     "(needs E*C devices; --ensembles %% E == 0 and "
+                     "chain count %% C == 0)")
         if name == "mle":
             sp.add_argument("--maxiter", type=int, default=None)
         sp.set_defaults(fn=fn)
 
-    for name, fn, iters in (("write-example", cmd_write_example, 100),
-                            ("write-pa-example", cmd_write_pa_example, 5000)):
+    for name, fn, iters in (
+            ("write-example", cmd_write_example, 100),
+            ("write-real-example", cmd_write_real_example, 8000),
+            ("write-pa-example", cmd_write_pa_example, 5000)):
         sp = sub.add_parser(name)
         sp.add_argument("out",
                         help="config path (*.txt), or a script header "
@@ -362,13 +448,19 @@ def main(argv=None):
         sp.add_argument("--jobid", type=int, default=None,
                         help="defaults to $SLURM_ARRAY_TASK_ID, else 0")
         sp.add_argument("--num-iters", type=int, default=iters)
-        if name == "write-example":
+        if name in ("write-example", "write-real-example"):
             sp.add_argument(
                 "--fast", action="store_true",
                 help="write the TPU-native fast solver config "
                      "(Solver name: sdirk, hmax 48, chord "
                      "refactor_every 4 — the headline-"
                      "benchmark mode) instead of reference solveivp")
+        if name == "write-real-example":
+            sp.add_argument(
+                "--irf", action="store_true",
+                help="convolve with the vendored 745 nm detector IRF "
+                     "(~identity at this dataset's 30 ns binning; "
+                     "exercises the full pipeline)")
         sp.add_argument("--init-cond", default=None)
         sp.add_argument("--measurement", default=None)
         sp.add_argument("--output", default=None)

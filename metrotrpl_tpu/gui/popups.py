@@ -121,16 +121,23 @@ class QuicksimEntryPopup(Popup):
         tasks = self.build_tasks(burn)
         qs = QuicksimManager()
         qs.simulate(tasks, units=self._run_units())
-        QuicksimResultPopup(self.parent, qs, tasks)
+        QuicksimResultPopup(self.parent, qs, tasks,
+                            chains=self.parent._selected_chains())
         self.top.destroy()
 
 
 class QuicksimResultPopup(Popup):
     """Poll the quicksim queue with tk.after and overlay results
-    (reference GUI/window.py:171-208 poll pattern), with per-sim scale
-    factors (quicksim_result_popup.py:141-183)."""
+    (reference GUI/window.py:171-208 poll pattern) with the reference
+    result-popup feature set (quicksim_result_popup.py:55-280):
+    PER-SIMULATION scale-factor entries prepopulated from each chain's
+    fitted ``_s{i}`` factors, per-sim visibility toggles, measurement-data
+    overlay (Load, gray scatter), and scaled CSV export (Export sims).
 
-    def __init__(self, parent, qs, tasks):
+    tasks are chain-major (reference group_results_by_chain convention):
+    result index j maps to chain j // n_sims, sim j % n_sims."""
+
+    def __init__(self, parent, qs, tasks, chains=None):
         super().__init__(parent, "Quicksim results")
         from matplotlib.backends.backend_tkagg import FigureCanvasTkAgg
         from matplotlib.figure import Figure
@@ -138,19 +145,105 @@ class QuicksimResultPopup(Popup):
         tk = self.tk
         self.qs = qs
         self.tasks = tasks
+        self.chains = list(chains or [])
+        self.n_sims = (len(tasks) // len(self.chains) if self.chains
+                       else len(tasks))
         self.results = []
+        self.exp_data = []
         self.fig = Figure(figsize=(6, 5), dpi=100)
         self.ax = self.fig.add_subplot(111)
         self.canvas = FigureCanvasTkAgg(self.fig, master=self.top)
         self.canvas.get_tk_widget().pack(fill=tk.BOTH, expand=True)
-        self.scale_var = tk.StringVar(value="1.0")
+
+        # per-simulation scale factor + visibility grid
+        # (reference draw_s_frame, quicksim_result_popup.py:144-183)
+        grid = tk.Frame(self.top)
+        grid.pack()
+        self.scale_vars = []
+        self.vis_vars = []
+        for j, task in enumerate(self.tasks):
+            tk.Label(grid, text=self._row_label(j)).grid(
+                row=j, column=0, sticky="w")
+            v = tk.IntVar(value=1)
+            tk.Checkbutton(grid, variable=v,
+                           command=self.redraw).grid(row=j, column=1)
+            s = tk.StringVar(value="1.0")
+            tk.Entry(grid, textvariable=s, width=10).grid(row=j, column=2)
+            self.vis_vars.append(v)
+            self.scale_vars.append(s)
+        self.populate_scale_factors()
+
         row = tk.Frame(self.top)
         row.pack()
-        tk.Label(row, text="scale factor").pack(side=tk.LEFT)
-        tk.Entry(row, textvariable=self.scale_var,
-                 width=10).pack(side=tk.LEFT)
         tk.Button(row, text="redraw", command=self.redraw).pack(side=tk.LEFT)
+        tk.Button(row, text="Load data...",
+                  command=self.load_data).pack(side=tk.LEFT)
+        tk.Button(row, text="Export sims...",
+                  command=self.export_sims).pack(side=tk.LEFT)
         self.top.after(500, self.poll)
+
+    def _row_label(self, j):
+        if not self.chains:
+            return f"sim {j}"
+        c, i = divmod(j, self.n_sims)
+        return f"{self.chains[c].label} sim {i}"
+
+    def populate_scale_factors(self):
+        """Prepopulate each entry from the originating chain's FITTED
+        scale factor: the last walked ``_s{i}`` state (reference
+        populate_scale_factors, quicksim_result_popup.py:176-183;
+        1.0 when the run fitted no scale factors)."""
+        for j in range(len(self.tasks)):
+            if not self.chains:
+                break
+            c, i = divmod(j, self.n_sims)
+            data = self.chains[c].data
+            if f"_s{i}" in data:
+                val = float(np.asarray(data[f"_s{i}"]).ravel()[-1])
+                self.scale_vars[j].set(f"{val:.2e}")
+
+    def load_data(self, path=None):
+        """Overlay a measurement CSV (the MCMC input format) for visual
+        comparison (reference load_exp_data, quicksim_result_popup.py:
+        196-223; linear y — quicksim curves are not log-transformed)."""
+        from metrotrpl_tpu.config.data_io import get_data
+
+        if path is None:
+            from tkinter import filedialog
+            path = filedialog.askopenfilename(
+                filetypes=[("CSV File", "*.csv")],
+                title="Select Measurement Data")
+        if not path:
+            return
+        ic_flags = {"time_cutoff": None, "select_obs_sets": None}
+        exp = get_data(path, ic_flags, {"log_y": False})
+        self.exp_data = list(zip(exp[0], exp[1]))
+        self.redraw()
+
+    def export_sims(self, path=None):
+        """Scaled-sims CSV export (reference export_sims,
+        quicksim_result_popup.py:225-256: time/y column pair per sim,
+        ragged rows padded with -1)."""
+        import itertools
+
+        if path is None:
+            from tkinter import filedialog
+            path = filedialog.asksaveasfilename(
+                filetypes=[("CSV file", "*.csv")], defaultextension=".csv",
+                title="Export sims")
+        if not path:
+            return
+        cols, header = [], []
+        for idx, t, s in sorted(self.results):
+            cols.append(t)
+            cols.append(s * self._scale(idx))
+            header.append(f"{self._row_label(idx)} - time")
+            header.append(f"{self._row_label(idx)} - y")
+        rows = np.array(list(map(list,
+                                 itertools.zip_longest(*cols,
+                                                       fillvalue=-1))))
+        np.savetxt(path, rows, header=",".join(header), delimiter=",")
+        return path
 
     def poll(self):
         items, done = self.qs.poll()
@@ -166,14 +259,21 @@ class QuicksimResultPopup(Popup):
         else:
             self.qs.join()
 
+    def _scale(self, idx):
+        try:
+            return float(self.scale_vars[idx].get())
+        except (ValueError, IndexError):
+            return 1.0
+
     def redraw(self):
         self.ax.clear()
-        try:
-            scale = float(self.scale_var.get())
-        except ValueError:
-            scale = 1.0
+        for t, y in self.exp_data:
+            self.ax.scatter(t, y, s=2, color="gray", zorder=0)
         for idx, t, s in self.results:
-            sim_plot(self.ax, t, s * scale, label=f"sim {idx}")
+            if not self.vis_vars[idx].get():
+                continue
+            sim_plot(self.ax, t, s * self._scale(idx),
+                     label=self._row_label(idx))
         self.canvas.draw()
 
 

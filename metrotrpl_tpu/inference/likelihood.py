@@ -134,7 +134,8 @@ def resolve_solver_mode(MCMC_fields, default_hmax, hmax=None,
 def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
                           irf_tables=None, hmax=None, scheme="sdirk3",
                           newton_iters=2, refine=1, escalate=True,
-                          align_outputs=True, refactor_every=1):
+                          align_outputs=True, refactor_every=1,
+                          h0=1e-3, growth=1.25):
     """Assemble the static likelihood plan from parsed config + data.
 
     sim_info : grid dict (lengths, nx, meas_types, num_meas)
@@ -245,7 +246,7 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
                     hmax=hm, model=MCMC_fields["model"], scheme=scheme,
                     newton_iters=newton_iters, refine=r,
                     align_outputs=align_outputs,
-                    refactor_every=refactor_every)
+                    refactor_every=refactor_every, h0=h0, growth=growth)
             # escalation plan: a refine*2 grid retried only when a row of
             # the base solve goes non-finite (the reference's
             # converge_simulation contract, trial_move_evaluation.py:168-210)
@@ -253,6 +254,10 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
                         else None))
         fwd = tuple(fwd)
 
+    if kind in ("pde", "nn"):
+        # IRF machinery is solver-independent: the reference convolves
+        # EVERY solver's output, NN surrogate included
+        # (trial_move_evaluation.py:75-94)
         irf_spec = MCMC_fields.get("irf_convolution", None)
         if irf_spec is not None:
             irf_tables = irf_tables or {}
@@ -341,6 +346,110 @@ def _gather_or_one(states, idx):
     return jnp.where(idx >= 0, vals, jnp.ones_like(vals))
 
 
+def _make_compare_pipeline(plan, dtype):
+    """Shared post-solve comparison pipeline: IRF convolution (when
+    configured), negative-value tolerance, force_min_y tail clamp, and the
+    tempered Gaussian log-likelihood. Applied IDENTICALLY to the PDE
+    solver's and the NN surrogate's output — the reference runs
+    one_sim_likelihood:75-158 on every solver's curve, NN included
+    (trial_move_evaluation.py:75-94).
+
+    Returns compare(sol (K*M, nt_exp) on the experiment grid,
+    scale_shift (K*M,) log10 scale factors, temps (Kt,)) -> ll (K*M, Kt)
+    with -inf rows for failed comparisons (conv peak at the end, too many
+    negatives, no valid points)."""
+    M = plan.n_meas
+    exp_times = jnp.asarray(plan.exp_times, dtype)
+    exp_vals = jnp.asarray(plan.exp_vals, dtype)
+    exp_uncs2 = 2.0 * jnp.asarray(plan.exp_uncs, dtype) ** 2
+    exp_mask = jnp.asarray(plan.exp_mask)
+    sigma2 = jnp.asarray(plan.sigma, dtype) ** 2
+    has_irf = jnp.asarray(plan.has_irf)
+    irf_tables = jnp.asarray(plan.irf_tables, dtype)
+    res_t = jnp.asarray(plan.res_t, dtype)
+    n_conv = jnp.asarray(plan.n_conv)
+    R = plan.res_t.shape[1]
+    n_conv_pts = (R - 1) // 2 + 1
+    conv_t_base = res_t[:, ::2]                               # (M, ncp)
+
+    def compare(sol, scale_shift, temps):
+        K = sol.shape[0] // M
+
+        def tile_m(a):  # (M, ...) -> (K*M, ...)
+            return jnp.tile(a, (K,) + (1,) * (a.ndim - 1))
+
+        b_exp_t = tile_m(exp_times)
+        b_exp_mask = tile_m(exp_mask)
+
+        # ---- IRF convolution path (computed for every row, selected) ----
+        b_res_t = tile_m(res_t)
+        resampled = jax.vmap(interp1d)(b_res_t, b_exp_t, sol)
+        resampled = jnp.nan_to_num(resampled, nan=0.0)
+        conv = convolve_moments(resampled, tile_m(irf_tables))  # (K*M, ncp)
+        conv_pts = jnp.arange(n_conv_pts)[None, :]
+        conv_valid = conv_pts < tile_m(n_conv)[:, None]
+        # max-shift: time origin moves to the peak of the convolved signal
+        conv_masked = jnp.where(conv_valid, conv, -jnp.inf)
+        shift_i = jnp.argmax(conv_masked, axis=1)
+        b_conv_t = tile_m(conv_t_base)
+        t_shift = jnp.take_along_axis(b_conv_t, shift_i[:, None], axis=1)
+        conv_t_shifted = b_conv_t - t_shift
+        t_last = jnp.take_along_axis(
+            b_conv_t, (tile_m(n_conv) - 1)[:, None], axis=1)
+        conv_fail = (t_last - t_shift)[:, 0] <= 0.0  # peak at the end
+        # re-interpolate onto experimental times; truncate to the convolved span
+        sol_irf = jax.vmap(interp1d)(b_exp_t, conv_t_shifted, conv)
+        irf_valid = b_exp_t < (t_last - t_shift)
+        # guard: padded conv region must not pollute the interp — conv_t rows
+        # are increasing over the full R so interp stays well-defined; values
+        # beyond n_conv are extrapolations masked by irf_valid.
+
+        b_has_irf = tile_m(has_irf)[:, None]
+        sol_cmp = jnp.where(b_has_irf, sol_irf, sol)
+        valid = jnp.where(b_has_irf, irf_valid & b_exp_mask, b_exp_mask)
+        fail = jnp.where(tile_m(has_irf), conv_fail, False)
+
+        # ---- negative-value tolerance (reference NEGATIVE_FRAC_TOL) ----
+        n_valid = jnp.sum(valid, axis=1)
+        n_neg = jnp.sum((sol_cmp < 0) & valid, axis=1)
+        fail = fail | (n_neg >= NEGATIVE_FRAC_TOL * n_valid) | (n_valid == 0)
+        sol_cmp = jnp.abs(sol_cmp)
+
+        b_vals = tile_m(exp_vals)
+        b_uncs2 = tile_m(exp_uncs2)
+
+        # ---- force_min_y (reference utils.set_min_y) ----
+        # i_final = count of points above min_y; clamping positions >=
+        # i_final equals the reference's searchsorted cut exactly for the
+        # monotone-decreasing decays it supports. For non-monotone signals
+        # the reference binary-searches UNSORTED data (utils.py:29 —
+        # arbitrary result); we deliberately use this deterministic
+        # tail-clamp instead.
+        if plan.force_min_y:
+            vals_min = jnp.min(
+                jnp.where(valid, b_vals, jnp.inf), axis=1)
+            min_y = 10.0 ** (vals_min - scale_shift)
+            i_final = jnp.sum((sol_cmp > min_y[:, None]) & valid, axis=1)
+            pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+            clamp = valid & (pos >= i_final[:, None])
+            sol_cmp = jnp.where(clamp, min_y[:, None], sol_cmp)
+
+        # ---- tempered Gaussian log-likelihood ----
+        log_sol = jnp.log10(sol_cmp)
+        err2 = (log_sol + scale_shift[:, None] - b_vals) ** 2
+        err2 = jnp.where(valid, err2, 0.0)
+        b_sigma2 = tile_m(sigma2)                             # (K*M,)
+        # ll(T) = -sum err^2 / (sigma^2 T + 2 u^2)
+        denom = (b_sigma2[:, None, None] * temps[None, None, :]
+                 + b_uncs2[:, :, None])                       # (K*M, nt, Kt)
+        ll = -jnp.sum(err2[:, :, None] / denom, axis=1)       # (K*M, Kt)
+        ll = jnp.where(jnp.isnan(ll), -jnp.inf, ll)
+        ll = jnp.where(fail[:, None], -jnp.inf, ll)
+        return ll
+
+    return compare
+
+
 def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
                     eval_chunk=None, escalate="inline", batch_mult=1):
     """Build the batched evaluation function.
@@ -373,13 +482,7 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
             (post-repair count under "inline")
     """
     M = plan.n_meas
-    P = plan.n_params
     units = jnp.asarray(plan.units, dtype)
-    sigma2 = jnp.asarray(plan.sigma, dtype) ** 2              # (M,)
-    exp_times = jnp.asarray(plan.exp_times, dtype)
-    exp_vals = jnp.asarray(plan.exp_vals, dtype)
-    exp_uncs2 = 2.0 * jnp.asarray(plan.exp_uncs, dtype) ** 2
-    exp_mask = jnp.asarray(plan.exp_mask)
     scale_idx = jnp.asarray(plan.scale_idx)
     fluence_idx = jnp.asarray(plan.fluence_idx)
     absp_idx = jnp.asarray(plan.absp_idx)
@@ -398,15 +501,8 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
     groups = plan.fwd
     nt_exp = plan.exp_times.shape[1]
     init_profiles = jnp.asarray(plan.init_profiles, dtype)
-    has_irf = jnp.asarray(plan.has_irf)
-    irf_tables = jnp.asarray(plan.irf_tables, dtype)
-    res_t = jnp.asarray(plan.res_t, dtype)
-    n_conv = jnp.asarray(plan.n_conv)
-    R = plan.res_t.shape[1]
-    n_conv_pts = (R - 1) // 2 + 1
-    conv_t_base = res_t[:, ::2]                               # (M, n_conv_pts)
+    compare = _make_compare_pipeline(plan, dtype)
 
-    name_list = list(plan.param_names)
     model = groups[0][1].model
 
     def eval_logll(states, temps):
@@ -414,9 +510,6 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
         model_states = states * units[None, :]                # (K, P)
 
         # ---- expand to the (K*M) simulation batch ----
-        def tile_m(a):  # (M, ...) -> (K*M, ...)
-            return jnp.tile(a, (K,) + (1,) * (a.ndim - 1))
-
         f_mult = _gather_or_one(states, fluence_idx)          # (K, M)
         a_mult = _gather_or_one(states, absp_idx)
         s_fact = _gather_or_one(states, scale_idx)
@@ -489,73 +582,9 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
             sol_full = sol_full.at[:, g_idx, :].set(sol_g[..., :nt_exp])
         sol = sol_full.reshape(K * M, nt_exp)
 
-        b_exp_t = tile_m(exp_times)
-        b_exp_mask = tile_m(exp_mask)
-
-        # ---- IRF convolution path (computed for every row, selected) ----
-        b_res_t = tile_m(res_t)
-        resampled = jax.vmap(interp1d)(b_res_t, b_exp_t, sol)
-        resampled = jnp.nan_to_num(resampled, nan=0.0)
-        conv = convolve_moments(resampled, tile_m(irf_tables))  # (K*M, ncp)
-        conv_pts = jnp.arange(n_conv_pts)[None, :]
-        conv_valid = conv_pts < tile_m(n_conv)[:, None]
-        # max-shift: time origin moves to the peak of the convolved signal
-        conv_masked = jnp.where(conv_valid, conv, -jnp.inf)
-        shift_i = jnp.argmax(conv_masked, axis=1)
-        b_conv_t = tile_m(conv_t_base)
-        t_shift = jnp.take_along_axis(b_conv_t, shift_i[:, None], axis=1)
-        conv_t_shifted = b_conv_t - t_shift
-        t_last = jnp.take_along_axis(
-            b_conv_t, (tile_m(n_conv) - 1)[:, None], axis=1)
-        conv_fail = (t_last - t_shift)[:, 0] <= 0.0  # peak at the end
-        # re-interpolate onto experimental times; truncate to the convolved span
-        sol_irf = jax.vmap(interp1d)(b_exp_t, conv_t_shifted, conv)
-        irf_valid = b_exp_t < (t_last - t_shift)
-        # guard: padded conv region must not pollute the interp — conv_t rows
-        # are increasing over the full R so interp stays well-defined; values
-        # beyond n_conv are extrapolations masked by irf_valid.
-
-        b_has_irf = tile_m(has_irf)[:, None]
-        sol_cmp = jnp.where(b_has_irf, sol_irf, sol)
-        valid = jnp.where(b_has_irf, irf_valid & b_exp_mask, b_exp_mask)
-        fail = jnp.where(tile_m(has_irf), conv_fail, False)
-
-        # ---- negative-value tolerance (reference NEGATIVE_FRAC_TOL) ----
-        n_valid = jnp.sum(valid, axis=1)
-        n_neg = jnp.sum((sol_cmp < 0) & valid, axis=1)
-        fail = fail | (n_neg >= NEGATIVE_FRAC_TOL * n_valid) | (n_valid == 0)
-        sol_cmp = jnp.abs(sol_cmp)
-
-        b_vals = tile_m(exp_vals)
-        b_uncs2 = tile_m(exp_uncs2)
-
-        # ---- force_min_y (reference utils.set_min_y) ----
-        # i_final = count of points above min_y; clamping positions >=
-        # i_final equals the reference's searchsorted cut exactly for the
-        # monotone-decreasing decays it supports. For non-monotone signals
-        # the reference binary-searches UNSORTED data (utils.py:29 —
-        # arbitrary result); we deliberately use this deterministic
-        # tail-clamp instead.
-        if plan.force_min_y:
-            vals_min = jnp.min(
-                jnp.where(valid, b_vals, jnp.inf), axis=1)
-            min_y = 10.0 ** (vals_min - scale_shift)
-            i_final = jnp.sum((sol_cmp > min_y[:, None]) & valid, axis=1)
-            pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
-            clamp = valid & (pos >= i_final[:, None])
-            sol_cmp = jnp.where(clamp, min_y[:, None], sol_cmp)
-
-        # ---- tempered Gaussian log-likelihood ----
-        log_sol = jnp.log10(sol_cmp)
-        err2 = (log_sol + scale_shift[:, None] - b_vals) ** 2
-        err2 = jnp.where(valid, err2, 0.0)
-        b_sigma2 = tile_m(sigma2)                             # (K*M,)
-        # ll(T) = -sum err^2 / (sigma^2 T + 2 u^2)
-        denom = (b_sigma2[:, None, None] * temps[None, None, :]
-                 + b_uncs2[:, :, None])                       # (K*M, nt, Kt)
-        ll = -jnp.sum(err2[:, :, None] / denom, axis=1)       # (K*M, Kt)
-        ll = jnp.where(jnp.isnan(ll), -jnp.inf, ll)
-        ll = jnp.where(fail[:, None], -jnp.inf, ll)
+        # shared comparison pipeline: IRF convolution, negative tolerance,
+        # force_min_y, tempered Gaussian ll (identical for the NN path)
+        ll = compare(sol, scale_shift, temps)
 
         per_meas = ll.reshape(K, M, -1)
         return {"logll_T": jnp.sum(per_meas, axis=1), "per_meas": per_meas,
@@ -594,24 +623,23 @@ def _make_eval_nn(plan, dtype):
     Features follow the reference's NN branch (forward_solver.py:213-219):
     [p0, mu_n, mu_p, ks, Cn, Cp, Sf, Sb, tauN, tauP, 1/eps,
      fluence, absp, thickness] in ENTRY units (the reference skips unit
-    conversion for the NN path). TRPL only; the comparison pipeline is the
-    simple masked residual (no IRF path for the surrogate).
+    conversion for the NN path). TRPL only. The surrogate's curve then
+    runs through the SAME comparison pipeline as the PDE solver's —
+    IRF convolution included (the reference applies do_irf_convolution to
+    every solver's output, trial_move_evaluation.py:75-94).
     """
     from metrotrpl_tpu.surrogate import multiexp
 
     M = plan.n_meas
     nn = plan.nn
     exp_times = jnp.asarray(plan.exp_times, dtype)
-    exp_vals = jnp.asarray(plan.exp_vals, dtype)
-    exp_uncs2 = 2.0 * jnp.asarray(plan.exp_uncs, dtype) ** 2
-    exp_mask = jnp.asarray(plan.exp_mask)
-    sigma2 = jnp.asarray(plan.sigma, dtype) ** 2
     thick = jnp.asarray(plan.thickness, dtype)
     init_profiles = jnp.asarray(plan.init_profiles, dtype)
     scale_idx = jnp.asarray(plan.scale_idx)
     fluence_idx = jnp.asarray(plan.fluence_idx)
     absp_idx = jnp.asarray(plan.absp_idx)
     pidx = plan.param_idx
+    compare = _make_compare_pipeline(plan, dtype)
 
     feat_names = ("p0", "mu_n", "mu_p", "ks", "Cn", "Cp", "Sf", "Sb",
                   "tauN", "tauP")
@@ -636,31 +664,10 @@ def _make_eval_nn(plan, dtype):
         s_fact = _gather_or_one(states, scale_idx)            # (K, M)
         scale_shift = jnp.log10(s_fact).reshape(K * M)
 
-        valid = jnp.tile(exp_mask, (K, 1))
-        b_vals = jnp.tile(exp_vals, (K, 1))
-
-        # negative-tolerance + force_min_y run for the surrogate too — the
-        # reference applies one_sim_likelihood:117-140 to every solver's
-        # output, NN included.
-        n_valid = jnp.sum(valid, axis=1)
-        n_neg = jnp.sum((sol < 0) & valid, axis=1)
-        fail = (n_neg >= NEGATIVE_FRAC_TOL * n_valid) | (n_valid == 0)
-        sol = jnp.abs(sol)
-        if plan.force_min_y:
-            vals_min = jnp.min(jnp.where(valid, b_vals, jnp.inf), axis=1)
-            min_y = 10.0 ** (vals_min - scale_shift)
-            i_final = jnp.sum((sol > min_y[:, None]) & valid, axis=1)
-            pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
-            clamp = valid & (pos >= i_final[:, None])
-            sol = jnp.where(clamp, min_y[:, None], sol)
-
-        err2 = (jnp.log10(sol) + scale_shift[:, None] - b_vals) ** 2
-        err2 = jnp.where(valid, err2, 0.0)
-        denom = (jnp.tile(sigma2, K)[:, None, None] * temps[None, None, :]
-                 + jnp.tile(exp_uncs2, (K, 1))[:, :, None])
-        ll = -jnp.sum(err2[:, :, None] / denom, axis=1)
-        ll = jnp.where(jnp.isnan(ll), -jnp.inf, ll)
-        ll = jnp.where(fail[:, None], -jnp.inf, ll)
+        # shared comparison pipeline: IRF convolution (resampling the
+        # multiexp curve from the experiment grid exactly like the PDE
+        # path), negative tolerance, force_min_y, tempered Gaussian ll
+        ll = compare(sol, scale_shift, temps)
         per_meas = ll.reshape(K, M, -1)
         return {"logll_T": jnp.sum(per_meas, axis=1), "per_meas": per_meas,
                 "n_solver_fail": jnp.zeros((), jnp.int32)}

@@ -10,13 +10,12 @@ TPU re-architecture of the reference driver (reference metropolis.py:42-267):
 * Tempering swaps (reference :204-261) use the precomputed
   (chains x temperatures) log-likelihood matrix instead of re-evaluating
   ll_funcs: a swap permutes two rows of the tiny state/ll arrays.
-* RNG is a keyed stream: iteration k derives fold_in(base_key, k), which
-  is split into proposal/acceptance/swap keys and the proposal key split
-  per chain. Resume-from-checkpoint is bit-exact by
-  construction (no generator state to restore). This intentionally departs
-  from the reference's shared-Generator scheme, where all MPI ranks draw
-  IDENTICAL random numbers each iteration (metropolis.py:296,410-411) —
-  i.e. correlated chains; our chains draw independently.
+* The iteration/window body itself lives in inference/mh_core.py, SHARED
+  with the multi-chip shard_map kernel (parallel/sharded_mh.py) — this
+  module instantiates it on the trivial single-device topology. The RNG
+  is the mesh-invariant keyed stream documented there: same seed =>
+  bit-identical walk on one chip or any mesh layout, and bit-exact
+  resume by construction (no generator state to restore).
 """
 
 import os
@@ -34,7 +33,11 @@ from metrotrpl_tpu.inference.likelihood import (
     make_eval_logll,
     resolve_solver_mode,
 )
-from metrotrpl_tpu.inference.moves import build_move_plan, make_trial_move
+from metrotrpl_tpu.inference.mh_core import (
+    make_window_body,
+    single_device_topology,
+)
+from metrotrpl_tpu.inference.moves import build_move_plan
 
 
 class MHKernel(NamedTuple):
@@ -72,92 +75,30 @@ def build_mh_kernel(like_plan, move_plan, temps, base_trial_move, temper_freq,
     eval_logll = make_eval_logll(like_plan, dtype=dtype, backend=backend,
                                  block_b=block_b, escalate=escalate,
                                  batch_mult=batch_mult)
-    own = jnp.arange(K)
+    n_params = like_plan.n_params
 
-    def eval_states(states):
+    def eval_nf(states_l):
+        """(1, K, P) -> ((1, K, K), ()): the heavy batched solve."""
+        states = states_l.reshape(K, n_params)
         if shard_batch is not None:
             states = shard_batch(states)
         r = eval_logll(states, temps_j)
-        return r["logll_T"], r["n_solver_fail"]       # (K, K), ()
+        return r["logll_T"].reshape(1, K, K), r["n_solver_fail"]
 
-    def propose(states, key):
-        keys = jax.random.split(key, K)
-        return jax.vmap(
-            lambda s, w, k: make_trial_move(s, w, k, move_plan)
-        )(states, widths, keys)
-
-    def swap_round(carry, key):
-        """(n_chains - 1) sequential random adjacent-pair swap attempts
-        (reference metropolis.py:204-261 math)."""
-        states, ll_T, swap_att, swap_acc = carry
-
-        def body(j, c):
-            states, ll_T, swap_att, swap_acc, key = c
-            key, k1, k2 = jax.random.split(key, 3)
-            i = jax.random.randint(k1, (), 0, K - 1)
-            bi_ui = ll_T[i, i]
-            bj_uj = ll_T[i + 1, i + 1]
-            bi_uj = ll_T[i + 1, i]
-            bj_ui = ll_T[i, i + 1]
-            logratio = bi_ui + bj_uj - bi_uj - bj_ui
-            accept = jax.random.uniform(k2, (), dtype) < jnp.exp(-logratio)
-            perm = own.at[i].set(jnp.where(accept, i + 1, i))
-            perm = perm.at[i + 1].set(jnp.where(accept, i, i + 1))
-            states = states[perm]
-            ll_T = ll_T[perm]
-            swap_att = swap_att.at[i].add(1)
-            swap_acc = swap_acc.at[i].add(accept.astype(swap_acc.dtype))
-            return states, ll_T, swap_att, swap_acc, key
-
-        states, ll_T, swap_att, swap_acc, _ = jax.lax.fori_loop(
-            0, K - 1, body, (states, ll_T, swap_att, swap_acc, key))
-        return states, ll_T, swap_att, swap_acc
-
-    def one_iter(carry, k):
-        states, ll_T, swap_att, swap_acc, nfail, base_key = carry
-        key_iter = jax.random.fold_in(base_key, k)
-        k_prop, k_acc, k_swap = jax.random.split(key_iter, 3)
-
-        new_states = propose(states, k_prop)
-        new_ll_T, nf = eval_states(new_states)
-        nfail = nfail + nf
-
-        logratio = (jnp.take_along_axis(new_ll_T, own[:, None], axis=1)
-                    - jnp.take_along_axis(ll_T, own[:, None], axis=1))[:, 0]
-        logratio = jnp.where(jnp.isnan(logratio), -jnp.inf, logratio)
-        u = jax.random.uniform(k_acc, (K,), dtype)
-        accept = u < jnp.exp(logratio)
-
-        states = jnp.where(accept[:, None], new_states, states)
-        ll_T = jnp.where(accept[:, None], new_ll_T, ll_T)
-
-        if do_tempering:
-            do_swap = (k % temper_freq) == 0
-            states, ll_T, swap_att, swap_acc = jax.lax.cond(
-                do_swap,
-                lambda c: swap_round(c, k_swap),
-                lambda c: c,
-                (states, ll_T, swap_att, swap_acc))
-
-        ll_own = jnp.take_along_axis(ll_T, own[:, None], axis=1)[:, 0]
-        return ((states, ll_T, swap_att, swap_acc, nfail, base_key),
-                (states, ll_own, accept))
+    window_body = make_window_body(
+        eval_nf, move_plan, widths, temper_freq, do_tempering,
+        window, dtype, single_device_topology(E_l=1, K=K))
 
     @jax.jit
     def run_window(states, ll_T, k0, base_key):
-        swap_att = jnp.zeros(K, dtype=jnp.int32)
-        swap_acc = jnp.zeros(K, dtype=jnp.int32)
-        nfail = jnp.zeros((), dtype=jnp.int32)
-        ks = k0 + jnp.arange(window)
-        carry, hist = jax.lax.scan(
-            one_iter, (states, ll_T, swap_att, swap_acc, nfail, base_key),
-            ks)
-        states, ll_T, swap_att, swap_acc, nfail, _ = carry
-        return states, ll_T, swap_att, swap_acc, nfail, hist
+        out = window_body(states[None], ll_T[None], k0, base_key)
+        states_l, ll_l, swap_att, swap_acc, nfail, hist = out
+        return (states_l[0], ll_l[0], swap_att[0], swap_acc[0], nfail,
+                jax.tree.map(lambda h: h[:, 0], hist))
 
     @jax.jit
     def init_ll(states):
-        return eval_states(states)[0]
+        return eval_nf(states[None])[0][0]
 
     return MHKernel(run_window=run_window, init_ll=init_ll, n_chains=K,
                     temps=np.asarray(temps), window=window)
@@ -374,6 +315,161 @@ def run_mh_fused(ensembles, like_plan, move_plan, logger, seeds,
     return ensembles
 
 
+def run_mh_sharded(ensembles, like_plan, move_plan, logger, seed,
+                   mesh_shape, export_paths=None, dtype=jnp.float32,
+                   starting_iter=0, need_initial_state=True,
+                   backend="auto", escalate=True, devices=None,
+                   profile_dir=None):
+    """Production multi-chip driver: the shard_map MH kernel
+    (parallel/sharded_mh.py) run through the same host window loop as
+    :func:`run_mh` — History scatter, per-window checkpoints, deferred
+    solver escalation, logging, and bit-exact resume — the TPU-native
+    equivalent of the reference's MPI driver (reference
+    metropolis.py:400-453: scatter -> windows -> gather -> checkpoint;
+    here states are BORN sharded, so there is no scatter/gather of state
+    slabs, only the tiny history transfer each window).
+
+    mesh_shape : (d_e, d_c) — devices along (ensembles, chains); requires
+        len(ensembles) % d_e == 0 and n_chains % d_c == 0.
+    seed : ONE shared seed; ensemble e, chain c draw from the
+        mesh-invariant keyed stream (mh_core docstring), so the walk is
+        bit-identical on any layout including single-chip run_mh
+        (tests/test_parallel.py), and resume is bit-exact by construction.
+    """
+    from jax.sharding import Mesh
+
+    from metrotrpl_tpu.parallel.sharded_mh import build_sharded_mh_kernel
+
+    E = len(ensembles)
+    d_e, d_c = mesh_shape
+    n_dev = d_e * d_c
+    devs = devices if devices is not None else jax.devices()[:n_dev]
+    if len(devs) < n_dev:
+        raise ValueError(f"mesh_shape {tuple(mesh_shape)} needs {n_dev} "
+                         f"devices; only {len(devs)} available")
+    mesh = Mesh(np.asarray(devs).reshape(d_e, d_c), ("ens", "chains"))
+    if export_paths is None:
+        export_paths = [f"CPU{e}-final.pik" for e in range(E)]
+    ef0 = ensembles[0].ensemble_fields
+    num_iters = ef0["num_iters"]
+    checkpoint_freq = ef0.get("checkpoint_freq") or num_iters
+    temps = np.asarray(ef0["_T"], dtype=float)
+    K = len(temps)
+    clock0 = perf_counter()
+
+    for ens in ensembles:
+        ens.ensemble_fields["_rng_seed"] = seed
+    base_key = jax.random.PRNGKey(seed % (2 ** 63))
+
+    states_E = jnp.asarray(np.stack(
+        [ens.H.states[:, :, max(starting_iter - 1, 0)] for ens in ensembles]
+    ), dtype)
+
+    window = _even_window(num_iters - max(1, starting_iter) + 1,
+                          checkpoint_freq)
+
+    def _build(esc_mode):
+        return build_sharded_mh_kernel(
+            like_plan, move_plan, temps, ef0["base_trial_move"],
+            ef0.get("temper_freq", 10), ef0["do_parallel_tempering"],
+            window=window, mesh=mesh, n_ens=E, dtype=dtype,
+            backend=backend, escalate=esc_mode)
+
+    kernel = _build("inline" if escalate == "inline" else "off")
+    safe_kernel = kernel if escalate == "inline" else None
+    states_E = jax.device_put(states_E, kernel.state_sharding)
+
+    ll_E = kernel.init_ll(states_E)
+    if need_initial_state:
+        logger.info(f"Simulating initial state ({E} ensembles on "
+                    f"{d_e}x{d_c} device mesh):")
+        ll_diag = np.asarray(ll_E)[:, np.arange(K), np.arange(K)]
+        for e, ens in enumerate(ensembles):
+            ens.H.loglikelihood[:, 0] = ll_diag[e]
+        starting_iter = 1
+
+    k = starting_iter
+    profiled = False
+    while k < num_iters:
+        n_this = min(window, num_iters - k)
+        logger.info(f"Simulating from {k} to {k + n_this} "
+                    f"({E} ensembles, {d_e}x{d_c} mesh)")
+        t_win = perf_counter()
+        states_in, ll_in = states_E, ll_E
+        if profile_dir and not profiled:
+            with jax.profiler.trace(profile_dir):
+                out = kernel.run_window(states_E, ll_E, jnp.asarray(k),
+                                        base_key)
+                jax.block_until_ready(out[0])
+            profiled = True
+            logger.info(f"Profiler trace written to {profile_dir}")
+        else:
+            out = kernel.run_window(states_E, ll_E, jnp.asarray(k),
+                                    base_key)
+        states_E, ll_E, swap_att, swap_acc, nfail, hist = out
+        jax.block_until_ready(states_E)
+        if int(nfail) and escalate is True:
+            # deferred escalation (run_mh contract): the window saw
+            # diverged solves; re-run it from the SAME entry state/key
+            # through the inline-retry kernel — a pure function, so the
+            # re-run exactly reproduces the window with retries applied.
+            logger.warning(
+                f"Window {k}-{k + n_this}: {int(nfail)} diverged solves; "
+                "re-running window with inline solver escalation")
+            if safe_kernel is None:
+                safe_kernel = _build("inline")
+            out = safe_kernel.run_window(states_in, ll_in, jnp.asarray(k),
+                                         base_key)
+            states_E, ll_E, swap_att, swap_acc, nfail, hist = out
+            jax.block_until_ready(states_E)
+            if int(nfail):
+                logger.warning(
+                    f"{int(nfail)} solves still diverged on the refined "
+                    "grid (rejected as -inf)")
+        dt_win = perf_counter() - t_win
+        logger.info(
+            f"Window of {n_this} iters x {E} ensembles took {dt_win:.3f} s "
+            f"({n_this * K * E / max(dt_win, 1e-9):.1f} "
+            "aggregate walker-steps/s)")
+        # history: (window, E, K, ...) gathered to host once per window
+        h_states, h_ll, h_accept = (np.asarray(h) for h in hist)
+        for e, ens in enumerate(ensembles):
+            H = ens.H
+            H.states[:, :, k:k + n_this] = (
+                h_states[:n_this, e].transpose(1, 2, 0))
+            H.loglikelihood[:, k:k + n_this] = h_ll[:n_this, e].T
+            H.accept[:, k:k + n_this] = h_accept[:n_this, e].T
+            H.swap_attempts += np.asarray(swap_att[e])
+            H.swap_accept += np.asarray(swap_acc[e])
+            ens.latest_iter = k + n_this
+        k += n_this
+        if k < num_iters:
+            logger.info(f"Saving checkpoints at k={k}")
+            for ens, ep in zip(ensembles, export_paths):
+                ens.checkpoint(os.path.join(
+                    ens.ensemble_fields["output_path"], ep))
+        if k % MSG_FREQ < window:
+            for e, ens in enumerate(ensembles):
+                for m in range(K):
+                    logger.info(
+                        f"Iter {k} ensemble {e} chain {m} state: "
+                        f"{ens.H.states[m, :, k - 1]} "
+                        f"logll {ens.H.loglikelihood[m, k - 1]}")
+
+    logger.info(f"Total sharded walk ({E} ensembles, {d_e}x{d_c} mesh) "
+                f"took {perf_counter() - clock0} s")
+    for ens, ep in zip(ensembles, export_paths):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rate = (100 * ens.H.swap_accept[:-1]
+                    / np.maximum(ens.H.swap_attempts[:-1], 1))
+        logger.info(
+            f"Swap accept rate: {ens.H.swap_accept} accepted of "
+            f"{ens.H.swap_attempts} attempts ({rate} %)")
+        ens.checkpoint(os.path.join(
+            ens.ensemble_fields["output_path"], ep))
+    return ensembles
+
+
 def kill_from_cl(signal_n, frame):
     raise KeyboardInterrupt("Terminate from command line")
 
@@ -518,6 +614,52 @@ def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
     return ensemble
 
 
+def _resolve_ckpt_paths(load_ckpt, n):
+    """Per-replica checkpoint filenames for a multi-ensemble resume: a
+    list/tuple of n names, or a '{e}' template (e.g. 'CPU{e}-final.pik' —
+    the fused/sharded drivers' own export naming)."""
+    if isinstance(load_ckpt, (list, tuple)):
+        if len(load_ckpt) != n:
+            raise ValueError(
+                f"load_checkpoint lists {len(load_ckpt)} files for "
+                f"{n} ensembles")
+        return list(load_ckpt)
+    if n == 1:
+        return [load_ckpt]
+    paths = [load_ckpt.format(e=e) for e in range(n)]
+    if len(set(paths)) != n:
+        raise ValueError(
+            "resuming n_ensembles > 1 needs per-replica checkpoints: pass "
+            "load_checkpoint as a list or a '{e}' template, e.g. "
+            "'CPU{e}-final.pik'")
+    return paths
+
+
+def _resume_starting_iter(ensembles, MCMC_fields, num_iters):
+    """Rewind/extend loaded checkpoints to continue to ``num_iters``;
+    returns the starting iteration (reference metropolis.py:342-353
+    semantics). Handles the reference's two broken edges: a rewind past
+    which the walk continues (index-out-of-bounds there) and a num_iters
+    below the checkpoint's progress (clean truncation + no-op here).
+    Multi-replica: lockstep drivers checkpoint together, but an interrupt
+    can leave replicas a window apart — restart all from the minimum."""
+    latest = min(ens.latest_iter for ens in ensembles)
+    if ("starting_iter" in MCMC_fields
+            and MCMC_fields["starting_iter"] < latest):
+        start = MCMC_fields["starting_iter"]
+    else:
+        start = min(latest, num_iters)
+    for ens in ensembles:
+        # drop history past start, then grow to the new total; keep the
+        # progress marker consistent so an interrupt before the first new
+        # window completes never checkpoints zeroed rows as walked
+        ens.H.extend(start)
+        ens.H.extend(num_iters)
+        ens.ensemble_fields["num_iters"] = num_iters
+        ens.latest_iter = start
+    return start
+
+
 def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
           export_path="", **kwargs):
     """Top-level MH inference entry point (reference metropolis.py:283
@@ -528,9 +670,17 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
     walk (reference multi-jobid semantics, main.py:36) fused through one
     compiled kernel (:func:`run_mh_fused`) — the TPU aggregate-throughput
     optimum. Each replica gets seed+e and its own `CPU{e}-final.pik`
-    checkpoint; returns the list of ensembles. Resuming a fused run from
-    checkpoints is not supported (start fresh or resume replicas
-    individually with n_ensembles=1)."""
+    checkpoint; returns the list of ensembles. Resume any run shape by
+    passing load_checkpoint as a '{e}' template or list of per-replica
+    files (reference metropolis.py:342-353 resumes one rank's pickle; the
+    fused/sharded drivers write one per replica).
+
+    kwargs['mesh_shape'] = (d_e, d_c) runs the multi-chip production
+    driver (:func:`run_mh_sharded`): the SAME walk shard_map-partitioned
+    over a (ensembles x chains) device mesh — the TPU-native equivalent
+    of the reference's one-chain-per-MPI-rank mode (metropolis.py:400-453)
+    — with the full host feature set (History, windowed checkpoints,
+    deferred escalation, bit-exact resume)."""
     from metrotrpl_tpu.config.data_io import make_dir
     from metrotrpl_tpu.io.ensemble import Ensemble, load_checkpoint
     from metrotrpl_tpu.io.logging import start_logging, stop_logging
@@ -549,55 +699,35 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
     load_ckpt = MCMC_fields.get("load_checkpoint", None)
     num_iters = MCMC_fields["num_iters"]
     n_ensembles = int(kwargs.get("n_ensembles", 1))
-    if n_ensembles > 1 and load_ckpt is not None:
-        raise ValueError(
-            "n_ensembles > 1 cannot resume from a checkpoint; rerun each "
-            "replica individually (n_ensembles=1, load_checkpoint=...)")
+    mesh_shape = kwargs.get("mesh_shape")
     starting_iter = 0
     if load_ckpt is None:
-        ensemble = Ensemble(param_info, sim_info, MCMC_fields, num_iters,
-                            verbose)
+        ensembles = [Ensemble(param_info, sim_info, MCMC_fields, num_iters,
+                              verbose) for _ in range(n_ensembles)]
         need_initial_state = True
     else:
-        ensemble = load_checkpoint(
-            os.path.join(MCMC_fields["output_path"], load_ckpt))
-        if ("starting_iter" in MCMC_fields
-                and MCMC_fields["starting_iter"] < ensemble.latest_iter):
-            starting_iter = MCMC_fields["starting_iter"]
-            # rewind: drop history past starting_iter, then grow to the new
-            # total. (The reference stops at the truncation and would index
-            # out of bounds when the walk continues past it —
-            # metropolis.py:346-348; fixed here.)
-            ensemble.H.extend(starting_iter)
-            ensemble.H.extend(num_iters)
-            ensemble.ensemble_fields["num_iters"] = num_iters
-            # Keep the progress marker consistent with the rewound history:
-            # an interrupt before the first new window completes would
-            # otherwise checkpoint zeroed rows [starting_iter, old latest)
-            # as if they were walked.
-            ensemble.latest_iter = starting_iter
-        else:
-            # A num_iters smaller than the checkpoint's progress truncates
-            # the history; the walk then has nothing left to do. Clamping
-            # starting_iter keeps the windowed loop a clean no-op instead
-            # of indexing past the truncated arrays.
-            starting_iter = min(ensemble.latest_iter, num_iters)
-            ensemble.H.extend(num_iters)
-            ensemble.ensemble_fields["num_iters"] = num_iters
-            ensemble.latest_iter = starting_iter
+        ensembles = [
+            load_checkpoint(os.path.join(MCMC_fields["output_path"], p))
+            for p in _resolve_ckpt_paths(load_ckpt, n_ensembles)]
+        starting_iter = _resume_starting_iter(ensembles, MCMC_fields,
+                                              num_iters)
         need_initial_state = False
-
-    ef = ensemble.ensemble_fields
-    ef["_init_params"] = iniPar
-    ef["_times"], ef["_vals"], ef["_uncs"] = e_data
-    for i, unc in enumerate(ef["_uncs"]):
-        logger.info(f"{i} exp unc max: {np.amax(unc)} avg: {np.mean(unc)}")
+    ensemble = ensembles[0]
 
     irf_tables = {}
-    if ef.get("irf_convolution", None) is not None:
-        irf_tables = load_irf_tables(ef["irf_convolution"],
-                                     kwargs.get("irf_dir", "IRFs"))
-    ef["_IRF_tables"] = irf_tables
+    if ensemble.ensemble_fields.get("irf_convolution", None) is not None:
+        irf_tables = load_irf_tables(
+            ensemble.ensemble_fields["irf_convolution"],
+            kwargs.get("irf_dir", "IRFs"))
+    for ens in ensembles:
+        ens_f = ens.ensemble_fields
+        ens_f["_init_params"] = iniPar
+        ens_f["_times"], ens_f["_vals"], ens_f["_uncs"] = e_data
+        ens_f["_IRF_tables"] = irf_tables
+
+    ef = ensemble.ensemble_fields
+    for i, unc in enumerate(ef["_uncs"]):
+        logger.info(f"{i} exp unc max: {np.amax(unc)} avg: {np.mean(unc)}")
 
     mcmc_for_plan = dict(MCMC_fields)
     mcmc_for_plan.setdefault("model_uncertainty",
@@ -634,7 +764,11 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
     move_plan = build_move_plan(param_info, MCMC_fields)
 
     logger.info(f"Sim info: {sim_info}")
-    seed = kwargs.get("seed", 235817049752375780)
+    seed = kwargs.get("seed")
+    if seed is None:
+        # resume continues the checkpoint's stream unless overridden
+        seed = ((ef.get("_rng_seed") if load_ckpt is not None else None)
+                or 235817049752375780)
     dtype = kwargs.get("dtype")
     if dtype is None:
         # float32 on accelerators (float64 is emulated/truncated on TPU);
@@ -643,62 +777,67 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
                  and jax.config.jax_enable_x64 else jnp.float32)
     logger.info(f"Walk dtype: {np.dtype(dtype).name}")
     backend_kw = kwargs.get("backend", "auto")
-    if n_ensembles > 1:
-        for ignored in ("profile_dir", "shard_batch"):
-            if kwargs.get(ignored):
-                logger.warning(
-                    f"{ignored} is not supported with n_ensembles > 1 "
-                    "and will be ignored")
-        ensembles = [ensemble]
-        for _ in range(n_ensembles - 1):
-            ens_e = Ensemble(param_info, sim_info, MCMC_fields, num_iters,
-                             verbose)
-            ef_e = ens_e.ensemble_fields
-            ef_e["_init_params"] = iniPar
-            ef_e["_times"], ef_e["_vals"], ef_e["_uncs"] = e_data
-            ef_e["_IRF_tables"] = irf_tables
-            ensembles.append(ens_e)
-        seeds = kwargs.get("seeds") or [seed + e for e in
-                                        range(n_ensembles)]
+
+    if n_ensembles == 1:
+        export_paths = kwargs.get("export_paths") or [export_path]
+    else:
         export_paths = (kwargs.get("export_paths")
                         or [f"CPU{e}-final.pik" for e in
                             range(n_ensembles)])
-        try:
+    try:
+        if mesh_shape is not None:
+            if kwargs.get("seeds"):
+                logger.warning(
+                    "sharded runs use ONE shared seed (ensembles derive "
+                    "streams by fold_in); ignoring seeds")
+            if kwargs.get("shard_batch"):
+                logger.warning("shard_batch is ignored with mesh_shape "
+                               "(partitioning is structural)")
+            run_mh_sharded(ensembles, like_plan, move_plan, logger,
+                           seed=seed, mesh_shape=tuple(mesh_shape),
+                           export_paths=export_paths, dtype=dtype,
+                           starting_iter=starting_iter,
+                           need_initial_state=need_initial_state,
+                           backend=backend_kw, escalate=escalate,
+                           devices=kwargs.get("devices"),
+                           profile_dir=kwargs.get("profile_dir"))
+        elif n_ensembles > 1:
+            for ignored in ("profile_dir", "shard_batch"):
+                if kwargs.get(ignored):
+                    logger.warning(
+                        f"{ignored} is not supported with n_ensembles > 1 "
+                        "and will be ignored")
+            seeds = kwargs.get("seeds")
+            if seeds is None:
+                if load_ckpt is not None:
+                    seeds = [ens.ensemble_fields.get("_rng_seed", seed + e)
+                             for e, ens in enumerate(ensembles)]
+                else:
+                    seeds = [seed + e for e in range(n_ensembles)]
             run_mh_fused(ensembles, like_plan, move_plan, logger,
                          seeds=seeds, export_paths=export_paths,
                          dtype=dtype, starting_iter=starting_iter,
                          need_initial_state=need_initial_state,
                          backend=backend_kw, escalate=escalate)
-        except KeyboardInterrupt:
-            logger.warning(
-                "Interrupted; truncating histories and writing final "
-                "checkpoints")
-            for ens, ep in zip(ensembles, export_paths):
-                ens.H.truncate(max(ens.latest_iter, 1))
-                ens.checkpoint(os.path.join(
-                    ens.ensemble_fields["output_path"], ep))
-            stop_logging(logger, handler, 1)
-            return ensembles
-        stop_logging(logger, handler, 0)
-        return ensembles
-    try:
-        run_mh(ensemble, like_plan, move_plan, logger, seed=seed,
-               export_path=export_path, dtype=dtype,
-               shard_batch=kwargs.get("shard_batch"),
-               starting_iter=starting_iter,
-               need_initial_state=need_initial_state,
-               profile_dir=kwargs.get("profile_dir"),
-               backend=backend_kw,
-               escalate=escalate)
+        else:
+            run_mh(ensemble, like_plan, move_plan, logger, seed=seed,
+                   export_path=export_path, dtype=dtype,
+                   shard_batch=kwargs.get("shard_batch"),
+                   starting_iter=starting_iter,
+                   need_initial_state=need_initial_state,
+                   profile_dir=kwargs.get("profile_dir"),
+                   backend=backend_kw,
+                   escalate=escalate)
     except KeyboardInterrupt:
         # clean termination: keep completed iterations, checkpoint, exit
         logger.warning(
             f"Interrupted at iteration {ensemble.latest_iter}; truncating "
-            "history and writing final checkpoint")
-        ensemble.H.truncate(max(ensemble.latest_iter, 1))
-        ensemble.checkpoint(
-            os.path.join(ef["output_path"], export_path))
+            "histories and writing final checkpoints")
+        for ens, ep in zip(ensembles, export_paths):
+            ens.H.truncate(max(ens.latest_iter, 1))
+            ens.checkpoint(os.path.join(
+                ens.ensemble_fields["output_path"], ep))
         stop_logging(logger, handler, 1)
-        return ensemble
+        return ensembles if n_ensembles > 1 else ensemble
     stop_logging(logger, handler, 0)
-    return ensemble
+    return ensembles if n_ensembles > 1 else ensemble

@@ -17,25 +17,23 @@ send/recv-based swap negotiation (reference metropolis.py:400-453,
   CANNOT silently replicate the solve batch: partitioning is structural.
   (VERDICT r1 weak #3 asked for exactly this.)
 
-RNG discipline: iteration k of ensemble e, chain c draws from
-fold_in(fold_in(fold_in(seed, k), e), c), so results are independent of
-the mesh layout (each device derives its rows' keys locally). Note this
-keyed-per-chain stream is mesh-invariant but intentionally NOT the same
-stream as the single-chip kernel, which splits one iteration key across
-chains (metropolis.py one_iter) — same-seed walks differ between the two
-kernels; both are bit-exact on resume.
+The iteration/window body is inference/mh_core.py, SHARED with the
+single-chip kernel — this module only supplies the mesh topology (axis
+offsets, all_gather/slice swap exchange, psum). The RNG is the
+mesh-invariant keyed stream documented there: iteration k of ensemble e,
+chain c draws from fold_in(fold_in(fold_in(seed, k)..., e), c) with GLOBAL
+(e, c), so the walk is independent of the mesh layout AND bit-identical to
+the single-chip kernel at the same seed (tests/test_parallel.py).
 """
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from metrotrpl_tpu.inference.likelihood import make_eval_logll
-from metrotrpl_tpu.inference.moves import make_trial_move
+from metrotrpl_tpu.inference.mh_core import MHTopology, make_window_body
 
 try:
     from jax import shard_map as _shard_map  # jax >= 0.8
@@ -68,14 +66,54 @@ class ShardedMHKernel(NamedTuple):
     window: int
 
 
+def mesh_topology(mesh, E, K, n_params):
+    """MHTopology for a 2D (ens, chains) mesh: axis_index offsets,
+    all_gather/dynamic-slice swap exchange over the chains axis, psum
+    failure reduction. Must be called (traced) inside the shard_map body's
+    mesh context."""
+    ens_ax, ch_ax = mesh.axis_names
+    d_e, d_c = mesh.shape[ens_ax], mesh.shape[ch_ax]
+    E_l, K_l = E // d_e, K // d_c
+
+    def offsets():
+        return (jax.lax.axis_index(ens_ax) * E_l,
+                jax.lax.axis_index(ch_ax) * K_l)
+
+    def gather(st_l, ll_l):
+        # (d_c, E_l, K_l, ...) -> (E_l, K, ...)
+        st_g = jax.lax.all_gather(st_l, ch_ax)
+        st_g = jnp.moveaxis(st_g, 0, 1).reshape(E_l, K, n_params)
+        ll_g = jax.lax.all_gather(ll_l, ch_ax)
+        ll_g = jnp.moveaxis(ll_g, 0, 1).reshape(E_l, K, K)
+        return st_g, ll_g
+
+    def scatter(st_g, ll_g, att, acc):
+        c0 = jax.lax.axis_index(ch_ax) * K_l
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0, K_l, axis=1)
+        return sl(st_g), sl(ll_g), sl(att), sl(acc)
+
+    def psum(x):
+        return jax.lax.psum(x, (ens_ax, ch_ax))
+
+    return MHTopology(E_l=E_l, K_l=K_l, K=K, offsets=offsets,
+                      gather=gather, scatter=scatter, psum=psum)
+
+
 def build_sharded_mh_kernel(like_plan, move_plan, temps, base_trial_move,
                             temper_freq, do_tempering, window, mesh,
                             n_ens=1, dtype=jnp.float32, backend="xla",
-                            block_b=None, eval_chunk=None, escalate="off"):
+                            block_b=None, eval_chunk=None, escalate="off",
+                            batch_mult=None):
     """Compile the MH window as one shard_map program over ``mesh``.
 
     mesh : 2D Mesh with axis names ("ens", "chains"); n_ens must divide
         over the "ens" axis and len(temps) over the "chains" axis.
+    escalate : make_eval_logll escalation mode for the device-local eval
+        ("off" counts failures for the driver's deferred re-run; "inline"
+        retries non-finite solves on the refined grid in-eval).
+    batch_mult : per-device simulation-batch multiplier hint for the
+        solver's block sizing (defaults to the device-local ensemble
+        count, the actual fused batch per device).
     """
     ens_ax, ch_ax = mesh.axis_names
     E, K = int(n_ens), len(temps)
@@ -88,128 +126,26 @@ def build_sharded_mh_kernel(like_plan, move_plan, temps, base_trial_move,
     temps_j = jnp.asarray(temps, dtype)
     base_move = jnp.asarray(base_trial_move, dtype)
     widths = jnp.sqrt(temps_j)[:, None] * base_move[None, :]   # (K, P)
-    eval_logll = make_eval_logll(like_plan, dtype=dtype, backend=backend,
-                                 block_b=block_b, eval_chunk=eval_chunk,
-                                 escalate=escalate)
+    eval_logll = make_eval_logll(
+        like_plan, dtype=dtype, backend=backend, block_b=block_b,
+        eval_chunk=eval_chunk, escalate=escalate,
+        batch_mult=batch_mult if batch_mult is not None else E_l)
     n_params = like_plan.n_params
 
-    def _local_eval_nf(states_l):
+    def eval_nf(states_l):
         """(E_l, K_l, P) -> ((E_l, K_l, K), ()): the heavy batched solve,
         fully device-local, plus the diverged-solve count."""
         flat = states_l.reshape(E_l * K_l, n_params)
         r = eval_logll(flat, temps_j)
         return r["logll_T"].reshape(E_l, K_l, K), r["n_solver_fail"]
 
-    def _local_eval(states_l):
-        return _local_eval_nf(states_l)[0]
+    topo = mesh_topology(mesh, E, K, n_params)
+    window_body = make_window_body(
+        eval_nf, move_plan, widths, temper_freq, do_tempering,
+        window, dtype, topo)
 
-    def _propose(states_l, key_iter, c0, e0):
-        def per_row(e, c, s):
-            kk = jax.random.fold_in(jax.random.fold_in(key_iter, e0 + e),
-                                    c0 + c)
-            w = jax.lax.dynamic_slice_in_dim(widths, c0 + c, 1)[0]
-            return make_trial_move(s, w, kk, move_plan)
-        return jax.vmap(lambda e, row: jax.vmap(
-            lambda c, s: per_row(e, c, s))(jnp.arange(K_l), row)
-        )(jnp.arange(E_l), states_l)
-
-    def _swap_round(states_l, ll_l, swap_att, swap_acc, key, e0):
-        """All-gather the tiny per-ensemble arrays over the chains axis,
-        compute the (replicated) swap permutation, keep our rows."""
-        # (d_c, E_l, K_l, ...) -> (E_l, K, ...)
-        st_g = jax.lax.all_gather(states_l, ch_ax)
-        st_g = jnp.moveaxis(st_g, 0, 1).reshape(E_l, K, n_params)
-        ll_g = jax.lax.all_gather(ll_l, ch_ax)
-        ll_g = jnp.moveaxis(ll_g, 0, 1).reshape(E_l, K, K)
-
-        own = jnp.arange(K)
-
-        def one_ens(st, ll, key_e):
-            def body(j, c):
-                st, ll, att, acc, key = c
-                key, k1, k2 = jax.random.split(key, 3)
-                i = jax.random.randint(k1, (), 0, K - 1)
-                logratio = (ll[i, i] + ll[i + 1, i + 1]
-                            - ll[i + 1, i] - ll[i, i + 1])
-                accept = (jax.random.uniform(k2, (), dtype)
-                          < jnp.exp(-logratio))
-                perm = own.at[i].set(jnp.where(accept, i + 1, i))
-                perm = perm.at[i + 1].set(jnp.where(accept, i, i + 1))
-                st = st[perm]
-                ll = ll[perm]
-                att = att.at[i].add(1)
-                acc = acc.at[i].add(accept.astype(acc.dtype))
-                return st, ll, att, acc, key
-            att0 = jnp.zeros(K, jnp.int32)
-            acc0 = jnp.zeros(K, jnp.int32)
-            st, ll, att, acc, _ = jax.lax.fori_loop(
-                0, K - 1, body, (st, ll, att0, acc0, key_e))
-            return st, ll, att, acc
-
-        keys_e = jax.vmap(lambda e: jax.random.fold_in(key, e0 + e))(
-            jnp.arange(E_l))
-        st_g, ll_g, att, acc = jax.vmap(one_ens)(st_g, ll_g, keys_e)
-
-        c0 = jax.lax.axis_index(ch_ax) * K_l
-        states_l = jax.lax.dynamic_slice_in_dim(st_g, c0, K_l, axis=1)
-        ll_l = jax.lax.dynamic_slice_in_dim(ll_g, c0, K_l, axis=1)
-        att_l = jax.lax.dynamic_slice_in_dim(att, c0, K_l, axis=1)
-        acc_l = jax.lax.dynamic_slice_in_dim(acc, c0, K_l, axis=1)
-        return states_l, ll_l, swap_att + att_l, swap_acc + acc_l
-
-    def _window_local(states_l, ll_l, k0, base_key):
-        """Device-local window body; states_l (E_l, K_l, P)."""
-        e0 = jax.lax.axis_index(ens_ax) * E_l
-        c0 = jax.lax.axis_index(ch_ax) * K_l
-        own_cols = c0 + jnp.arange(K_l)          # global temp index per row
-
-        def one_iter(carry, k):
-            states_l, ll_l, swap_att, swap_acc, nfail = carry
-            key_iter = jax.random.fold_in(base_key, k)
-            k_prop, k_acc, k_swap = jax.random.split(key_iter, 3)
-
-            new_states = _propose(states_l, k_prop, c0, e0)
-            new_ll, nf = _local_eval_nf(new_states)
-            nfail = nfail + nf
-
-            ll_own_new = jnp.take_along_axis(
-                new_ll, own_cols[None, :, None], axis=2)[..., 0]
-            ll_own_old = jnp.take_along_axis(
-                ll_l, own_cols[None, :, None], axis=2)[..., 0]
-            logratio = ll_own_new - ll_own_old
-            logratio = jnp.where(jnp.isnan(logratio), -jnp.inf, logratio)
-
-            def acc_key(e, c):
-                return jax.random.fold_in(
-                    jax.random.fold_in(k_acc, e0 + e), c0 + c)
-            u = jax.vmap(lambda e: jax.vmap(lambda c: jax.random.uniform(
-                acc_key(e, c), (), dtype))(jnp.arange(K_l)))(jnp.arange(E_l))
-            accept = u < jnp.exp(logratio)
-
-            states_l = jnp.where(accept[..., None], new_states, states_l)
-            ll_l = jnp.where(accept[..., None], new_ll, ll_l)
-
-            if do_tempering:
-                states_l, ll_l, swap_att, swap_acc = jax.lax.cond(
-                    (k % temper_freq) == 0,
-                    lambda c: _swap_round(*c, k_swap, e0),
-                    lambda c: c,
-                    (states_l, ll_l, swap_att, swap_acc))
-
-            ll_own = jnp.take_along_axis(
-                ll_l, own_cols[None, :, None], axis=2)[..., 0]
-            return ((states_l, ll_l, swap_att, swap_acc, nfail),
-                    (states_l, ll_own, accept))
-
-        swap_att = jnp.zeros((E_l, K_l), jnp.int32)
-        swap_acc = jnp.zeros((E_l, K_l), jnp.int32)
-        nfail0 = jnp.zeros((), jnp.int32)
-        ks = k0 + jnp.arange(window)
-        carry, hist = jax.lax.scan(
-            one_iter, (states_l, ll_l, swap_att, swap_acc, nfail0), ks)
-        states_l, ll_l, swap_att, swap_acc, nfail = carry
-        nfail = jax.lax.psum(nfail, (ens_ax, ch_ax))
-        return states_l, ll_l, swap_att, swap_acc, nfail, hist
+    def _local_init_ll(states_l):
+        return eval_nf(states_l)[0]
 
     sspec = P(ens_ax, ch_ax, None)
     lspec = P(ens_ax, ch_ax, None)
@@ -217,14 +153,14 @@ def build_sharded_mh_kernel(like_plan, move_plan, temps, base_trial_move,
                  P(None, ens_ax, ch_ax))
 
     run_window = jax.jit(shard_map(
-        _window_local, mesh=mesh,
+        window_body, mesh=mesh,
         in_specs=(sspec, lspec, P(), P()),
         out_specs=(sspec, lspec, P(ens_ax, ch_ax), P(ens_ax, ch_ax),
                    P(), hist_spec),
     ))
 
     init_ll = jax.jit(shard_map(
-        _local_eval, mesh=mesh, in_specs=(sspec,), out_specs=lspec,
+        _local_init_ll, mesh=mesh, in_specs=(sspec,), out_specs=lspec,
     ))
 
     return ShardedMHKernel(

@@ -262,6 +262,134 @@ RHS = {"std": rhs_std, "traps": rhs_traps}
 RHS_PLANES = {"std": rhs_std_planes, "traps": rhs_traps_planes}
 
 
+def jac_std_planes(y, p):
+    """Hand-derived block-tridiagonal Jacobian of :func:`rhs_std_planes`.
+
+    Returns (L, D, U) as 3x3 nested tuples of (..., nx) planes with the
+    same positional convention as ``ops.blocktridiag.p_block_tridiag_jacobian``:
+    ``D[a][b]`` plane position i = d f_a,i / d y_b,i, ``L`` couples to cell
+    i-1, ``U`` to cell i+1.
+
+    Why it exists: the colored-JVP extraction re-traces the full RHS 9
+    times per factorization (3 colors x 3 component seeds, each JVP ~2x an
+    RHS evaluation ~= 900 plane-ops); the drift-diffusion stencil's 19
+    nonzero block entries are each a 2-5-op expression over shared edge
+    planes (~100 plane-ops total). Validated against the colored-JVP
+    extraction in tests/test_blocktridiag.py (exact same math, so the
+    integrator numerics are unchanged up to f.p. reassociation).
+
+    Derivative algebra (module-docstring state (dN, dD, E_shifted); edge k
+    connects cells k, k+1 and uses E slot k):
+
+      M = n0t*dP + p0t*dN + dN*dP,  dP = dN + dD
+      dM/ddN = Ntot + Ptot,  dM/ddD = Ntot
+      R = rate * M,  rate = cn*Ntot + cp*Ptot + ks + 1/q,
+      q = tauN*Ptot + tauP*Ntot
+      jn_k  = drift_n*Ne_k*E_k + diff_n*(dN_{k+1} - dN_k)/dx
+      F_k   = (drift_n*Ne_k + drift_p*Pe_k)*E_k
+              + ((diff_n - diff_p)*(dN_{k+1}-dN_k) - diff_p*(dD_{k+1}-dD_k))/dx
+      surface s = S_rec * M / (Ntot + Ptot) at the two boundary cells.
+    """
+    from metrotrpl_tpu.ops.blocktridiag import _shift
+
+    dN, dD, E = y
+    n = dN.shape[-1]
+    dtype = dN.dtype
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+    first = idx == 0
+    last = idx == n - 1
+    edge = (idx < n - 1).astype(dtype)      # valid edge positions 0..n-2
+
+    dP = dN + dD
+    Ntot = p.n0t + dN
+    Ptot = p.p0t + dP
+    M = _excess_product(dN, dP, p)
+    q = p.tauN * Ptot + p.tauP * Ntot
+    inv_q2 = 1.0 / (q * q)
+    rate = p.cn_s * Ntot + p.cp_s * Ptot + p.ks_s + 1.0 / q
+    dR_dN = rate * (Ntot + Ptot) + M * (p.cn_s + p.cp_s
+                                        - (p.tauN + p.tauP) * inv_q2)
+    dR_dD = rate * Ntot + M * (p.cp_s - p.tauN * inv_q2)
+
+    # surface-recombination derivatives (meaningful at cells 0 / n-1 only)
+    S = Ntot + Ptot
+    inv_S = 1.0 / S
+    s_dN = 1.0 - 2.0 * M * inv_S * inv_S      # d(M/S)/ddN
+    s_dD = (Ntot - M * inv_S) * inv_S         # d(M/S)/ddD
+    sf_dN = p.sf * s_dN
+    sf_dD = p.sf * s_dD
+    sb_dN = p.sb * s_dN
+    sb_dD = p.sb * s_dD
+
+    # edge-aligned planes (position k = edge between cells k and k+1);
+    # the E state plane is already edge-aligned (slot k = E_{k+1})
+    Ne = 0.5 * (Ntot + _shift(Ntot, -1))
+    Pe = 0.5 * (Ptot + _shift(Ptot, -1))
+    ix = p.inv_dx
+    dnp_ = p.drift_n + p.drift_p
+    dmd = p.diff_n - p.diff_p
+    an = 0.5 * p.drift_n * E
+    jn_dNk = (an - p.diff_n * ix) * edge     # d jn_k / d dN_k
+    jn_dNk1 = (an + p.diff_n * ix) * edge    # d jn_k / d dN_{k+1}
+    jn_dE = (p.drift_n * Ne) * edge          # d jn_k / d E_k
+    as_ = 0.5 * dnp_ * E
+    F_dNk = (as_ - dmd * ix) * edge
+    F_dNk1 = (as_ + dmd * ix) * edge
+    bs = 0.5 * p.drift_p * E
+    F_dDk = (bs + p.diff_p * ix) * edge
+    F_dDk1 = (bs - p.diff_p * ix) * edge
+    F_dE = (p.drift_n * Ne + p.drift_p * Pe) * edge
+
+    prev = lambda a: _shift(a, 1)            # out[i] = a[i-1], zero-padded
+    # non-constant zero (dN * 0): Mosaic mis-folds some constant-zero
+    # operands in downstream concat/slice lowering (module-docstring rules)
+    zero = jnp.broadcast_to(dN * 0.0, jnp.broadcast_shapes(
+        dN.shape, jn_dNk.shape))
+
+    # --- row 0: d(ddN)/d* ;  ddN_i = (jn_{i+1} - jn_i)/dx - R_i ---
+    D00 = ix * (jnp.where(last, -sb_dN, jn_dNk)
+                - jnp.where(first, sf_dN, prev(jn_dNk1))) - dR_dN
+    D01 = ix * (jnp.where(last, -sb_dD, 0.0)
+                - jnp.where(first, sf_dD, 0.0)) - dR_dD
+    D02 = ix * jn_dE
+    L00 = -ix * prev(jn_dNk)
+    L02 = -ix * prev(jn_dE)
+    U00 = ix * jn_dNk1
+
+    # --- row 1: d(ddD)/d* ;  ddD_i = -(F_{i+1} - F_i)/dx, F_0 = F_n = 0 ---
+    D10 = -ix * (F_dNk - prev(F_dNk1))
+    D11 = -ix * (F_dDk - prev(F_dDk1))
+    D12 = -ix * F_dE
+    L10 = ix * prev(F_dNk)
+    L11 = ix * prev(F_dDk)
+    L12 = ix * prev(F_dE)
+    U10 = -ix * F_dNk1
+    U11 = -ix * F_dDk1
+
+    # --- row 2: d(dE)/d* ;  dE_i = -F_i(edge i)/dx for i < n-1, else 0 ---
+    D20 = -ix * F_dNk
+    D21 = -ix * F_dDk
+    D22 = -ix * F_dE
+    U20 = -ix * F_dNk1
+    U21 = -ix * F_dDk1
+
+    bz = lambda a: jnp.broadcast_to(a, zero.shape)
+    L = ((bz(L00), zero, bz(L02)),
+         (bz(L10), bz(L11), bz(L12)),
+         (zero, zero, zero))
+    D = ((bz(D00), bz(D01), bz(D02)),
+         (bz(D10), bz(D11), bz(D12)),
+         (bz(D20), bz(D21), bz(D22)))
+    U = ((bz(U00), zero, zero),
+         (bz(U10), bz(U11), zero),
+         (bz(U20), bz(U21), zero))
+    return L, D, U
+
+
+#: plane-layout symbolic Jacobians (fall back to colored JVPs when absent)
+JAC_PLANES = {"std": jac_std_planes}
+
+
 def beer_lambert(fluence, alpha, x_centers, direction=1.0):
     """Beer-Lambert initial excess-carrier profile [nm^-3]; ``direction``
     < 0 excites from the back surface (reference forward_solver.py:105-113)."""

@@ -15,6 +15,7 @@ import numpy as np
 
 from metrotrpl_tpu.physics.grid import make_space_grid, pad_time_grid, plan_time_grid
 from metrotrpl_tpu.physics.models import (
+    JAC_PLANES,
     RHS,
     RHS_PLANES,
     initial_state,
@@ -309,19 +310,22 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
         if layout == "planes":
             rhs_fn = RHS_PLANES[model]
             rhs = lambda y: rhs_fn(y, p)
+            jac_fn = JAC_PLANES.get(model)
+            jac = (lambda y: jac_fn(y, p)) if jac_fn is not None else None
             observe = lambda y: observables_planes(
                 y, p, dxb[..., 0], model=model)
             y0i = unstack_state(y0, model)
         else:
             rhs_fn = RHS[model]
             rhs = lambda y: rhs_fn(y, p)
+            jac = None
             observe = lambda y: observables_std(
                 y, p, dxb[..., 0], model=model)
             y0i = y0
         pl_t, trts_t = integrate_observables(
             rhs, observe, y0i, dts, scheme_name=scheme,
             newton_iters=newton_iters, refactor_every=refactor_every,
-            n_ramp=n_ramp)
+            n_ramp=n_ramp, jac=jac)
 
     if out_w is None:
         # (n_steps+1, B) -> (B, nt) gather at output knots

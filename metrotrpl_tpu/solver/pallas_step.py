@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from metrotrpl_tpu.physics.models import (
+    JAC_PLANES,
     N_COMP,
     RHS_PLANES,
     ScaledParams,
@@ -63,6 +64,10 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dx_ref, pl_ref, tr_ref, *,
     p = ScaledParams(*fields)
     rhs_fn = RHS_PLANES[model]
     rhs = lambda y: rhs_fn(y, p)
+    # symbolic block-tridiagonal Jacobian when the model has one (std):
+    # ~100 plane-ops per factorization vs ~900 for 9 colored RHS JVPs
+    jac_fn = JAC_PLANES.get(model)
+    jac = (lambda y: jac_fn(y, p)) if jac_fn is not None else None
 
     dxv = dx_ref[:][:, 0]
 
@@ -102,7 +107,7 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dx_ref, pl_ref, tr_ref, *,
     pl0, tr0 = observed(y, 0)
 
     def one_step(y, h):
-        factors = sdirk_factors(rhs, y, h, scheme)
+        factors = sdirk_factors(rhs, y, h, scheme, jac=jac)
         return sdirk_stages(rhs, y, h, scheme, factors, newton_iters)
 
     n_phase1 = n_steps if n_ramp is None else n_ramp
@@ -124,7 +129,7 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dx_ref, pl_ref, tr_ref, *,
             y, pl_acc, tr_acc = carry
             k0 = n_ramp + b * F
             h = dt_at(k0)  # constant within the block by plan contract
-            factors = sdirk_factors(rhs, y, h, scheme)
+            factors = sdirk_factors(rhs, y, h, scheme, jac=jac)
             for i in range(F):
                 y = sdirk_stages(rhs, y, h, scheme, factors, newton_iters)
                 d_pl, d_tr = observed(y, k0 + i + 1)

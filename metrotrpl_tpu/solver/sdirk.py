@@ -78,12 +78,16 @@ SDIRK_SCHEMES = {
 }
 
 
-def sdirk_factors(rhs, y, h, scheme):
+def sdirk_factors(rhs, y, h, scheme, jac=None):
     """Factor the Newton matrix M = I - h*gamma*J(y) (PCR factors reusable
     across stages, Newton iterations, and — in chord mode — steps).
 
     y : tuple of C (..., n) planes (rhs maps plane tuple -> plane tuple) or
     a stacked (..., C, n) array (rhs maps array -> array).
+    jac : optional symbolic block-tridiagonal Jacobian, plane layout only
+        (y -> (L, D, U) nested tuples, physics.models.JAC_PLANES). Replaces
+        the colored-JVP extraction (9 full RHS re-linearizations ~900
+        plane-ops) with the ~100-op closed-form stencil; same math.
     """
     if not _is_planes(y):
         C = y.shape[-2]
@@ -102,7 +106,7 @@ def sdirk_factors(rhs, y, h, scheme):
     C = len(y)
     hb = jnp.asarray(h)[..., None]       # broadcasts over (..., n) planes
     hg = hb * scheme.gamma
-    L, D, U = p_block_tridiag_jacobian(rhs, y)
+    L, D, U = jac(y) if jac is not None else p_block_tridiag_jacobian(rhs, y)
     # M = I - h*gamma*J, blockwise; the unit diagonal is plain Python
     # structure in plane representation (no iota masks needed)
     MD = tuple(tuple((1.0 - hg * D[i][j]) if i == j else -hg * D[i][j]
@@ -148,7 +152,7 @@ def sdirk_stages(rhs, y, h, scheme, factors, newton_iters=2):
     return Y
 
 
-def sdirk_step(rhs, y, h, scheme, newton_iters=2):
+def sdirk_step(rhs, y, h, scheme, newton_iters=2, jac=None):
     """One SDIRK step of size h (h may be batched, broadcastable to the
     planes' batch dims).
 
@@ -156,12 +160,13 @@ def sdirk_step(rhs, y, h, scheme, newton_iters=2):
     Returns y_{n+1} (the final stage — all schemes here are stiffly
     accurate).
     """
-    factors = sdirk_factors(rhs, y, h, scheme)
+    factors = sdirk_factors(rhs, y, h, scheme, jac=jac)
     return sdirk_stages(rhs, y, h, scheme, factors, newton_iters)
 
 
 def integrate_observables(rhs, observe, y0, dts, scheme_name="sdirk3",
-                          newton_iters=2, refactor_every=1, n_ramp=None):
+                          newton_iters=2, refactor_every=1, n_ramp=None,
+                          jac=None):
     """Scan the stepper over a step-size sequence, emitting observables.
 
     y0 : plane-tuple state (C arrays of (..., n)).
@@ -183,7 +188,7 @@ def integrate_observables(rhs, observe, y0, dts, scheme_name="sdirk3",
     n_steps = dts.shape[0]
 
     def body(y, dt_k):
-        y_new = sdirk_step(rhs, y, dt_k, scheme, newton_iters)
+        y_new = sdirk_step(rhs, y, dt_k, scheme, newton_iters, jac=jac)
         return y_new, observe(y_new)
 
     first = jax.tree.map(lambda x: x[None], observe(y0))
@@ -206,7 +211,7 @@ def integrate_observables(rhs, observe, y0, dts, scheme_name="sdirk3",
 
     def block_body(y, dt_blk):
         # one factorization per block; h is constant within the block
-        factors = sdirk_factors(rhs, y, dt_blk[0], scheme)
+        factors = sdirk_factors(rhs, y, dt_blk[0], scheme, jac=jac)
         outs = []
         for i in range(F):
             y = sdirk_stages(rhs, y, dt_blk[i], scheme, factors,

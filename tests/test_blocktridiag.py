@@ -135,3 +135,78 @@ def test_colored_jacobian_matches_dense():
                                        atol=1e-12)
     np.testing.assert_allclose(L[:, :, 0], 0.0, atol=0)
     np.testing.assert_allclose(U[:, :, -1], 0.0, atol=0)
+
+
+def test_symbolic_jacobian_matches_colored_jvp():
+    """physics.models.jac_std_planes (hand-derived stencil) must equal the
+    colored-JVP extraction of the same RHS to f64 roundoff — it replaces 9
+    full RHS re-linearizations per Newton factorization in the hot path."""
+    import jax.numpy as jnp
+
+    from metrotrpl_tpu.ops.blocktridiag import p_block_tridiag_jacobian
+    from metrotrpl_tpu.physics.models import (
+        jac_std_planes,
+        make_scaled_params,
+        rhs_std_planes,
+    )
+
+    rng = np.random.default_rng(11)
+    B, n = 4, 16
+    raw = {"n0": 1e8 * 1e-21, "p0": 3e15 * 1e-21, "mu_n": 20e5 * 1e-9,
+           "mu_p": 25e5 * 1e-9, "ks": 4.8e-11 * 1e12 * 1e-9,
+           "Cn": 4.4e-29 * 1e33 * 1e-9, "Cp": 4.0e-29 * 1e33 * 1e-9,
+           "Sf": 10e-2 * 1e-9 * 1e7, "Sb": 20e-2 * 1e-9 * 1e7,
+           "tauN": 511.0, "tauP": 871.0, "eps": 10.0, "Tm": 300.0}
+    raw = {k: jnp.full((B, 1), v) for k, v in raw.items()}
+    dx = jnp.full((B, 1), 311.0 / n)
+    ns = jnp.full((B, 1), 1e-3)
+    p = make_scaled_params(raw, dx, ns)
+
+    y = tuple(jnp.asarray(rng.uniform(lo, hi, (B, n)))
+              for lo, hi in ((0.01, 1.0),       # dN
+                             (-1e-6, 1e-6),     # dD
+                             (-1e-4, 1e-4)))    # E
+    rhs = lambda yy: rhs_std_planes(yy, p)
+    L_j, D_j, U_j = p_block_tridiag_jacobian(rhs, y)
+    L_s, D_s, U_s = jac_std_planes(y, p)
+    for name, A, Bm in (("L", L_j, L_s), ("D", D_j, D_s), ("U", U_j, U_s)):
+        for a in range(3):
+            for b in range(3):
+                np.testing.assert_allclose(
+                    np.asarray(A[a][b]), np.asarray(Bm[a][b]),
+                    rtol=1e-9, atol=1e-12,
+                    err_msg=f"{name}[{a}][{b}] mismatch")
+
+
+def test_solve_with_symbolic_jacobian_matches_jvp_path():
+    """Full batched solve: planes path using the symbolic Jacobian must
+    reproduce the colored-JVP path (identical Newton matrices -> identical
+    trajectories up to reassociation roundoff)."""
+    import jax.numpy as jnp
+
+    from metrotrpl_tpu.solver.forward import solve_forward_batch
+
+    n, nt = 16, 9
+    t = np.linspace(0, 32, nt)
+    raw = {k: jnp.asarray([v]) for k, v in
+           {"n0": 1e8, "p0": 3e15, "mu_n": 20, "mu_p": 20, "ks": 4.8e-11,
+            "Cn": 4.4e-29, "Cp": 4.4e-29, "Sf": 100, "Sb": 10,
+            "tauN": 511, "tauP": 871, "eps": 10, "Tm": 300}.items()}
+    uc = {"n0": 1e-21, "p0": 1e-21, "mu_n": 1e5, "mu_p": 1e5, "ks": 1e12,
+          "Cn": 1e33, "Cp": 1e33, "Sf": 1e-2, "Sb": 1e-2}
+    raw = {k: v * uc.get(k, 1) for k, v in raw.items()}
+    from metrotrpl_tpu.physics.models import beer_lambert
+    dx = 311.0 / n
+    x = jnp.linspace(dx / 2, 311.0 - dx / 2, n)
+    ic = beer_lambert(2.12e11 * 1e-14, 6e4 * 1e-7, x)[None]
+
+    from metrotrpl_tpu.solver.forward import make_forward_plan
+    fp = make_forward_plan([311.0], [n], ["TRPL"], [t], hmax=4.0)
+    kw = dict(model="std", scheme="sdirk3", newton_iters=2, backend="xla")
+    args = (ic, raw, jnp.asarray(fp.dx), jnp.asarray(fp.dt),
+            jnp.asarray(fp.out_idx), jnp.asarray(fp.is_trpl))
+    sol_planes = solve_forward_batch(*args, layout="planes", **kw)
+    sol_stacked = solve_forward_batch(*args, layout="stacked", **kw)
+    assert np.all(np.isfinite(np.asarray(sol_planes)))
+    np.testing.assert_allclose(np.asarray(sol_planes),
+                               np.asarray(sol_stacked), rtol=5e-7)

@@ -170,3 +170,67 @@ def test_export_trace2d_and_histogram2d(tmp_path):
     assert mat.shape == (9, 9)
     assert mat[1:, 1:].sum() == 50  # frequencies
     assert np.all(np.diff(mat[1:, 0]) > 0)  # x bin centers
+
+
+def test_quicksim_result_popup_per_sim_scales_and_overlay(win):
+    """Reference parity (quicksim_result_popup.py:141-183): per-sim scale
+    factors prepopulated from the chains' fitted _s factors, per-sim
+    visibility toggles, measurement-data overlay, and scaled export."""
+    from metrotrpl_tpu.gui.popups import QuicksimResultPopup
+    from metrotrpl_tpu.gui.quicksim import QuicksimTask
+
+    w, fd, tmp = win
+    chains = w._selected_chains()[:2]
+    chains[0].data["_s0"] = np.array([2.5, 3.0])  # fitted scale-factor walk
+
+    t = np.linspace(0, 10, 11)
+    y0, y1 = np.exp(-t), 2 * np.exp(-t)
+
+    class FakeQS:
+        fired = False
+
+        def poll(self):
+            if self.fired:
+                return [], True
+            self.fired = True
+            return [(0, t, y0, ""), (1, t, y1, "")], True
+
+        def join(self, timeout=None):
+            pass
+
+    task = QuicksimTask(thickness=311, nx=16, final_time=10, nt=11,
+                        fluence=1e11, absp=6e4, direction=1, params={})
+    pop = QuicksimResultPopup(w, FakeQS(), [task, task], chains=chains)
+    # prepopulated from chain 0's LAST _s0 state; chain 1 has none -> 1.0
+    assert float(pop.scale_vars[0].get()) == 3.0
+    assert float(pop.scale_vars[1].get()) == 1.0
+
+    pop.top.run_after()  # poll -> results land -> redraw
+
+    # measurement overlay: the MCMC input CSV format (t, y, unc rows)
+    data = np.stack([t, 5 * np.exp(-t), 0.1 * np.ones(11)], axis=1)
+    csv = str(tmp / "meas.csv")
+    np.savetxt(csv, data, delimiter=",")
+    pop.load_data(csv)
+
+    # two sims with DIFFERENT factors over the loaded data trace
+    pop.scale_vars[0].set("2.0")
+    pop.scale_vars[1].set("0.5")
+    pop.redraw()
+    lines = pop.ax.get_lines()
+    assert len(lines) == 2
+    np.testing.assert_allclose(lines[0].get_ydata(), 2.0 * y0)
+    np.testing.assert_allclose(lines[1].get_ydata(), 0.5 * y1)
+    assert len(pop.ax.collections) == 1  # the gray data scatter
+
+    # per-sim visibility toggle
+    pop.vis_vars[1].set(0)
+    pop.redraw()
+    assert len(pop.ax.get_lines()) == 1
+
+    # scaled CSV export (reference export_sims column layout)
+    out = pop.export_sims(str(tmp / "sims.csv"))
+    arr = np.loadtxt(out, delimiter=",")
+    assert arr.shape == (11, 4)
+    np.testing.assert_allclose(arr[:, 1], 2.0 * y0)
+    np.testing.assert_allclose(arr[:, 3], 0.5 * y1)

@@ -318,3 +318,40 @@ def test_resume_with_smaller_num_iters_truncates_cleanly(tmp_path):
     assert ens.H.accept.shape[1] == 6
     assert ens.H.states.shape[2] == 6
     assert np.all(np.isfinite(ens.H.loglikelihood))
+
+
+def test_metro_n_ensembles_resume_bit_exact(tmp_path):
+    """Fused multi-ensemble resume (VERDICT r2 missing #5): straight 12
+    iters == 6 + per-replica checkpoints + resume to 12, bit for bit,
+    for both replicas (load_checkpoint as a '{e}' template)."""
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+        tmp_path, num_iters=12, checkpoint_freq=6)
+    mcmc["output_path"] = str(tmp_path / "a")
+    enss_a = metro(sim_info, iniPar, e_data, mcmc, pi, seed=99,
+                   n_ensembles=2)
+
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+        tmp_path, num_iters=6, checkpoint_freq=6)
+    mcmc["output_path"] = str(tmp_path / "b")
+    metro(sim_info, iniPar, e_data, mcmc, pi, seed=99, n_ensembles=2)
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+        tmp_path, num_iters=12, checkpoint_freq=6)
+    mcmc["output_path"] = str(tmp_path / "b")
+    mcmc["load_checkpoint"] = "CPU{e}-final.pik"
+    enss_b = metro(sim_info, iniPar, e_data, mcmc, pi, n_ensembles=2)
+
+    # the resumed run recovered each replica's stored seed
+    assert [e.ensemble_fields["_rng_seed"] for e in enss_b] == [99, 100]
+    for a, b in zip(enss_a, enss_b):
+        np.testing.assert_array_equal(a.H.states, b.H.states)
+        np.testing.assert_array_equal(a.H.loglikelihood, b.H.loglikelihood)
+        np.testing.assert_array_equal(a.H.accept[:, 6:], b.H.accept[:, 6:])
+
+
+def test_multi_ensemble_resume_needs_per_replica_paths(tmp_path):
+    """A plain (non-template) checkpoint name cannot resume n_ensembles>1
+    — every replica would load the same file."""
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(tmp_path, num_iters=6)
+    mcmc["load_checkpoint"] = "CPU0-final.pik"
+    with pytest.raises(ValueError, match="per-replica"):
+        metro(sim_info, iniPar, e_data, mcmc, pi, n_ensembles=2)

@@ -155,3 +155,102 @@ def test_sharded_mh_swap_bookkeeping():
         att = np.asarray(out[2])
     # 6 iterations x (K-1) attempts, distributed over the K-1 lower pairs
     assert att.sum() == 6 * 3
+
+
+def test_sharded_kernel_matches_single_chip_kernel():
+    """The unified mh_core body + mesh-invariant keyed RNG make the
+    shard_map kernel reproduce the single-chip kernel at the same seed
+    (VERDICT r2 next #3): one walk, any topology."""
+    from metrotrpl_tpu.inference.metropolis import build_mh_kernel
+    from metrotrpl_tpu.parallel.sharded_mh import build_sharded_mh_kernel
+
+    plan, move_plan, states_E, base_move, temps = _sharded_setup(4, 1)
+    states = states_E[0].astype(jnp.float64)
+    kern_1 = build_mh_kernel(plan, move_plan, temps, base_move,
+                             temper_freq=2, do_tempering=True, window=3,
+                             dtype=jnp.float64)
+    mesh = _mesh2d(1, 2)
+    kern_s = build_sharded_mh_kernel(plan, move_plan, temps, base_move,
+                                     temper_freq=2, do_tempering=True,
+                                     window=3, mesh=mesh, n_ens=1,
+                                     dtype=jnp.float64)
+    key = jax.random.PRNGKey(3)
+    ll1 = kern_1.init_ll(states)
+    out1 = kern_1.run_window(states, ll1, jnp.asarray(1), key)
+    with mesh:
+        lls = kern_s.init_ll(states[None])
+        outs = kern_s.run_window(states[None], lls, jnp.asarray(1), key)
+    np.testing.assert_allclose(np.asarray(ll1), np.asarray(lls)[0],
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out1[0]), np.asarray(outs[0])[0],
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(out1[1]), np.asarray(outs[1])[0],
+                               rtol=1e-6, atol=1e-9)
+    # per-iteration history: ll_own and accept streams match too
+    np.testing.assert_allclose(np.asarray(out1[5][1]),
+                               np.asarray(outs[5][1])[:, 0],
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(out1[5][2]),
+                                  np.asarray(outs[5][2])[:, 0])
+
+
+def test_metro_mesh_driver_matches_run_mh(tmp_path):
+    """metro(mesh_shape=...) — the production multi-chip driver — runs the
+    SAME walk as plain metro at the same seed (pa problem: the likelihood
+    is elementwise per chain, so equality is bit-exact even sharded)."""
+    from test_metropolis import _pa_setup
+
+    from metrotrpl_tpu.inference import metro
+
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+        tmp_path, num_iters=16, checkpoint_freq=8)
+    mcmc["output_path"] = str(tmp_path / "plain")
+    ens_plain = metro(sim_info, iniPar, e_data, mcmc, pi,
+                      export_path="final.pik", seed=42)
+
+    for d_c in (1, 3):
+        sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+            tmp_path, num_iters=16, checkpoint_freq=8)
+        mcmc["output_path"] = str(tmp_path / f"mesh{d_c}")
+        ens_mesh = metro(sim_info, iniPar, e_data, mcmc, pi,
+                         export_path="final.pik", seed=42,
+                         mesh_shape=(1, d_c))
+        np.testing.assert_array_equal(ens_plain.H.states, ens_mesh.H.states)
+        np.testing.assert_array_equal(ens_plain.H.loglikelihood,
+                                      ens_mesh.H.loglikelihood)
+        np.testing.assert_array_equal(ens_plain.H.accept, ens_mesh.H.accept)
+        np.testing.assert_array_equal(ens_plain.H.swap_attempts,
+                                      ens_mesh.H.swap_attempts)
+        assert os.path.exists(str(tmp_path / f"mesh{d_c}" / "final.pik"))
+
+
+def test_metro_mesh_driver_resume_bit_exact(tmp_path):
+    """Sharded-driver resume: straight 12 iters == 6 + per-replica
+    checkpoints + resume to 12, bit for bit (2 ensembles on a 2x3 mesh)."""
+    from test_metropolis import _pa_setup
+
+    from metrotrpl_tpu.inference import metro
+
+    common = dict(seed=5, n_ensembles=2, mesh_shape=(2, 3))
+
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+        tmp_path, num_iters=12, checkpoint_freq=6)
+    mcmc["output_path"] = str(tmp_path / "a")
+    enss_a = metro(sim_info, iniPar, e_data, mcmc, pi, **common)
+
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+        tmp_path, num_iters=6, checkpoint_freq=6)
+    mcmc["output_path"] = str(tmp_path / "b")
+    metro(sim_info, iniPar, e_data, mcmc, pi, **common)
+    sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+        tmp_path, num_iters=12, checkpoint_freq=6)
+    mcmc["output_path"] = str(tmp_path / "b")
+    mcmc["load_checkpoint"] = "CPU{e}-final.pik"
+    enss_b = metro(sim_info, iniPar, e_data, mcmc, pi, **common)
+
+    for a, b in zip(enss_a, enss_b):
+        np.testing.assert_array_equal(a.H.states, b.H.states)
+        np.testing.assert_array_equal(a.H.loglikelihood, b.H.loglikelihood)
+        np.testing.assert_array_equal(a.H.accept[:, 6:], b.H.accept[:, 6:])
+    # the two ensembles are genuinely different walks (fold_in(e) streams)
+    assert not np.array_equal(enss_a[0].H.states, enss_a[1].H.states)
