@@ -135,6 +135,31 @@ def dydt_std_native(y, L, dx, params):
     return dy
 
 
+def make_native_rhs_std(nx, dx, params):
+    """Build a minimal-overhead ``fun(t, y) -> dy`` closure over the
+    compiled reference RHS for scipy's LSODA, or None if the native build
+    is unavailable.
+
+    The ctypes argument list is constructed once; per call the only
+    Python work is one contiguity check and one small copy (LSODA may
+    hold the returned array across calls, so the scratch buffer cannot
+    be returned directly).
+    """
+    lib = _get_rhs_lib()
+    if lib is None:
+        return None
+    args = _rhs_param_list(nx, params, dx)
+    dy = np.empty(3 * nx + 1, dtype=np.float64)
+    fn = lib.dydt_std
+    L = int(nx)
+
+    def fun(t, y):
+        fn(L, *args, np.ascontiguousarray(y, dtype=np.float64), dy)
+        return dy.copy()
+
+    return fun
+
+
 def bench_rhs_native(y, L, dx, params, reps=1000):
     """Time the compiled RHS in-process (no per-call ctypes overhead).
     Returns seconds per RHS call, or None if unavailable."""

@@ -118,7 +118,9 @@ def oracle_logll(t, vals, state):
     ll = 0.0
     for m, (L, v) in enumerate(zip(LENGTHS, vals)):
         try:
-            pl = solve_reference(_ic(m), L, NX, t, pm)
+            # rhs="native" is the compiled transcription of the same RHS
+            # (bit-identical dy, verified) — ~3x faster LSODA callbacks
+            pl = solve_reference(_ic(m), L, NX, t, pm, rhs="native")
         except Exception:
             return -np.inf
         if not np.all(np.isfinite(pl)) or np.any(pl <= 0):
@@ -128,7 +130,7 @@ def oracle_logll(t, vals, state):
     return ll
 
 
-def run_oracle_mh(t, vals, n_iters):
+def run_oracle_mh(t, vals, n_iters, partial_path=None):
     rng = np.random.default_rng(SEED + 1)
     state = dict(TRUE)
     state.update(START)
@@ -170,6 +172,11 @@ def run_oracle_mh(t, vals, n_iters):
             print(f"  oracle MH {it + 1}/{n_iters} "
                   f"({(time.perf_counter() - clock) / (it + 1):.2f} s/iter, "
                   f"accept {n_acc / (it + 1):.2f})", flush=True)
+            if partial_path:
+                # monitorable progress snapshot (the full cache is only
+                # written on completion)
+                np.savez(partial_path, n_done=it + 1, acc=n_acc / (it + 1),
+                         **{k: samples[k][:it + 1] for k in ACTIVE})
     return samples, n_acc / n_iters
 
 
@@ -256,7 +263,8 @@ def _cached_oracle_mh(t, vals, n_iters):
         z = np.load(cache)
         print(f"  (oracle MH from cache {cache})", flush=True)
         return {k: z[k] for k in ACTIVE}, float(z["acc"])
-    samples, acc = run_oracle_mh(t, vals, n_iters)
+    samples, acc = run_oracle_mh(t, vals, n_iters,
+                                 partial_path=cache + ".partial.npz")
     np.savez(cache, acc=acc, **samples)
     return samples, acc
 

@@ -367,3 +367,23 @@ def test_chord_with_geometric_tail_degenerates_loudly(caplog):
             refactor_every=4, tail_growth=1.3, tail_block=4)
     assert plan.n_ramp is None
     assert any("no constant-dt plateau" in r.message for r in caplog.records)
+
+
+def test_native_rhs_oracle_matches_numpy():
+    """The compiled reference RHS (runtime/refrhs.cpp) drives LSODA to the
+    same result as the numpy RHS — it is the same math evaluated in the
+    same order, so the trajectories should agree to the solver tolerance
+    (in practice bit-exactly on this toolchain). Guards the fast
+    ``rhs="native"`` path used by scripts/posterior_compare.py's oracle."""
+    from metrotrpl_tpu.runtime import make_native_rhs_std
+
+    thickness, nx = 2000.0, 32
+    params = staub_params()
+    if make_native_rhs_std(nx, thickness / nx, params) is None:
+        pytest.skip("native toolchain unavailable")
+    init_dN = _ic(thickness, nx)
+    t_out = np.linspace(0, 1000, 101)
+    a = solve_reference(init_dN, thickness, nx, t_out, params)
+    b = solve_reference(init_dN, thickness, nx, t_out, params, rhs="native")
+    err = np.abs(np.log10(a) - np.log10(b))
+    assert err.max() < 1e-7, f"max log10 err {err.max():.2e}"
