@@ -219,6 +219,8 @@ def parse_config_script_file(path):
                     MCMC_fields["hmax"] = float(value)
                 elif key.startswith("Solver refactor_every"):
                     MCMC_fields["refactor_every"] = int(value)
+                elif key.startswith("Solver ramp_block"):
+                    MCMC_fields["ramp_block"] = int(value)
                 elif key.startswith("Init mode"):
                     MCMC_fields["ini_mode"] = value
                 elif key.startswith("Likelihood-to-trial-move"):
@@ -554,6 +556,10 @@ def generate_config_script_file(
                        "(sdirk constant-dt plateau)")
             f.write("Solver refactor_every: "
                     f"{MCMC_fields['refactor_every']}\n")
+        if "ramp_block" in MCMC_fields:
+            comment(f, "Chord-mode Newton refactorization period inside "
+                       "the early-time dt ramp (stepped ramp)")
+            f.write(f"Solver ramp_block: {MCMC_fields['ramp_block']}\n")
         comment(f, "Initial condition mode: density | fluence")
         f.write(f"Init mode: {MCMC_fields['ini_mode']}\n")
         if "likel2move_ratio" in MCMC_fields and "model_uncertainty" in MCMC_fields:

@@ -252,10 +252,11 @@ def validate_MCMC_fields(
                 raise ValueError(f"{tolkey} must be a positive value"
                                  + (" (or 0 for no step limit)"
                                     if tolkey == "hmax" else ""))
-    if "refactor_every" in MCMC_fields:
-        v = MCMC_fields["refactor_every"]
-        if not (isinstance(v, (int, np.integer)) and v >= 1):
-            raise ValueError("refactor_every must be an integer >= 1")
+    for ckey in ("refactor_every", "ramp_block"):
+        if ckey in MCMC_fields:
+            v = MCMC_fields[ckey]
+            if not (isinstance(v, (int, np.integer)) and v >= 1):
+                raise ValueError(f"{ckey} must be an integer >= 1")
     for skey in ("likel2move_ratio", "model_uncertainty"):
         if skey in MCMC_fields:
             v = MCMC_fields[skey]

@@ -135,7 +135,7 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
                           irf_tables=None, hmax=None, scheme="sdirk3",
                           newton_iters=2, refine=1, escalate=True,
                           align_outputs=True, refactor_every=1,
-                          h0=1e-3, growth=1.25):
+                          h0=1e-3, growth=1.25, ramp_block=1):
     """Assemble the static likelihood plan from parsed config + data.
 
     sim_info : grid dict (lengths, nx, meas_types, num_meas)
@@ -246,7 +246,8 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
                     hmax=hm, model=MCMC_fields["model"], scheme=scheme,
                     newton_iters=newton_iters, refine=r,
                     align_outputs=align_outputs,
-                    refactor_every=refactor_every, h0=h0, growth=growth)
+                    refactor_every=refactor_every, h0=h0, growth=growth,
+                    ramp_block=ramp_block)
             # escalation plan: a refine*2 grid retried only when a row of
             # the base solve goes non-finite (the reference's
             # converge_simulation contract, trial_move_evaluation.py:168-210)
@@ -556,7 +557,8 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
                     out_w=(None if fp_x.out_w is None
                            else tile_g(jnp.asarray(fp_x.out_w, dtype))),
                     refactor_every=fp_x.refactor_every,
-                    n_ramp=fp_x.n_ramp)               # (K*Mg, nt_g)
+                    n_ramp=fp_x.n_ramp,
+                    ramp_block=fp_x.ramp_block)       # (K*Mg, nt_g)
 
             sol_g = run_solve(fp)
             bad = ~jnp.all(jnp.isfinite(sol_g), axis=-1)      # (K*Mg,)

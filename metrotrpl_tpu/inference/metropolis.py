@@ -758,6 +758,8 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
         hmax=hmax_kw, align_outputs=align_outputs,
         refactor_every=int(kwargs.get("refactor_every")
                            or MCMC_fields.get("refactor_every", 1)),
+        ramp_block=int(kwargs.get("ramp_block")
+                       or MCMC_fields.get("ramp_block", 1)),
         # the refined-grid plan is needed whenever any escalation mode is
         # on (the deferred re-run kernel uses it)
         refine=refine, escalate=bool(escalate))

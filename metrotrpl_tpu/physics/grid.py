@@ -44,7 +44,8 @@ class TimeGrid(NamedTuple):
 
 
 def plan_time_grid(t_out, hmax=4.0, h0=1e-3, growth=1.25, refine=1,
-                   align_outputs=True, tail_growth=1.0, tail_block=1):
+                   align_outputs=True, tail_growth=1.0, tail_block=1,
+                   ramp_block=1):
     """Build a solver step grid.
 
     hmax must be a positive finite step bound; callers translate the
@@ -73,6 +74,14 @@ def plan_time_grid(t_out, hmax=4.0, h0=1e-3, growth=1.25, refine=1,
         plateau's constant hmax over-resolves the tail. Growth is applied
         once per ``tail_block`` steps (h constant within a block — the
         chord-compatible stepped-geometric schedule).
+    ramp_block : > 1 makes the early-time ramp STEPPED: h is held constant
+        for ``ramp_block`` steps, then multiplied by growth**ramp_block.
+        The per-step envelope h(k) = h0 * growth**(ramp_block*floor(k/
+        ramp_block)) never exceeds the smooth ramp's h0*growth**k, so the
+        scheme accuracy is preserved while the Newton matrix only needs
+        refactoring once per block (chord stepping inside the ramp — the
+        ramp is ~65%% of per-solve FLOPs at the production settings,
+        docs/TPU_NOTES.md round-5).
     """
     t_out = np.asarray(t_out, dtype=np.float64)
     if t_out[0] != 0:
@@ -94,9 +103,13 @@ def plan_time_grid(t_out, hmax=4.0, h0=1e-3, growth=1.25, refine=1,
     # Newton diverge even though the scheme is L-stable).
     ramp = [0.0]
     h = h0
+    lvl_growth = growth ** int(ramp_block)
     while h < hmax and ramp[-1] + h < t_final:
-        ramp.append(ramp[-1] + h)
-        h = h * growth
+        for _ in range(int(ramp_block)):
+            if ramp[-1] + h >= t_final:
+                break
+            ramp.append(ramp[-1] + h)
+        h = h * lvl_growth
     ramp = np.array(ramp[1:])
 
     if tail_growth > 1.0 and not align_outputs:
@@ -106,9 +119,12 @@ def plan_time_grid(t_out, hmax=4.0, h0=1e-3, growth=1.25, refine=1,
         knots = [0.0]
         h = h0
         while h < hmax and knots[-1] + h < t_final:
-            for s in range(1, int(refine) + 1):
-                knots.append(knots[-1] + h / refine)
-            h = h * growth
+            for _ in range(int(ramp_block)):
+                if knots[-1] + h >= t_final:
+                    break
+                for s in range(1, int(refine) + 1):
+                    knots.append(knots[-1] + h / refine)
+            h = h * lvl_growth
         h = float(hmax)
         n_in_block = 0
         while t_final - knots[-1] > 1e-9 * t_final:

@@ -101,12 +101,16 @@ class ForwardPlan(NamedTuple):
     n_ramp: int = None      # first step index from which every row's dt is
                             # constant (chord-mode phase boundary)
     refactor_every: int = 1  # Newton-matrix refactor period past n_ramp
+    ramp_block: int = 1     # Newton-matrix refactor period INSIDE the ramp
+                            # (dt is constant within each ramp block by
+                            # plan_time_grid construction; 1 = every step)
 
 
 def make_forward_plan(lengths, nxes, meas_types, times_list, hmax=4.0,
                       model="std", scheme="sdirk3", newton_iters=2,
                       h0=1e-3, growth=1.25, refine=1, align_outputs=True,
-                      refactor_every=1, tail_growth=1.0, tail_block=1):
+                      refactor_every=1, tail_growth=1.0, tail_block=1,
+                      ramp_block=1):
     """Build a ForwardPlan for a measurement set.
 
     times_list : list of per-measurement output-time arrays (must start at 0).
@@ -127,13 +131,14 @@ def make_forward_plan(lengths, nxes, meas_types, times_list, hmax=4.0,
     nx = int(nxes[0])
     grids = [plan_time_grid(t, hmax=hmax, h0=h0, growth=growth, refine=refine,
                             align_outputs=align_outputs,
-                            tail_growth=tail_growth, tail_block=tail_block)
+                            tail_growth=tail_growth, tail_block=tail_block,
+                            ramp_block=ramp_block)
              for t in times_list]
     n_steps = max(len(g.dt) for g in grids)
     nt = max(len(g.out_idx) for g in grids)
 
     n_ramp = None
-    if refactor_every > 1:
+    if refactor_every > 1 or ramp_block > 1:
         # chord-mode phase boundary: the first step index from which every
         # row's dt is constant (padding repeats the last dt, preserving it)
         dtm = np.stack([np.concatenate(
@@ -158,7 +163,27 @@ def make_forward_plan(lengths, nxes, meas_types, times_list, hmax=4.0,
                  "blockwise to t_final)" % tail_growth
                  if tail_growth and tail_growth > 1.0 else ""))
             n_ramp = None
+            ramp_block = 1
         else:
+            if ramp_block > 1:
+                # phase-1 chord blocks need dt constant within every
+                # ramp_block-sized block: every dt change must land on a
+                # block boundary (plan_time_grid's stepped ramp guarantees
+                # this unless an output-aligned grid or a t_final-truncated
+                # ramp split a block), and n_ramp on a block multiple.
+                R = int(ramp_block)
+                starts = np.nonzero(any_changed)[0] + 1  # new-dt start idx
+                n_ramp_b = n_ramp + (-n_ramp) % R
+                if np.all(starts % R == 0) and n_ramp_b <= n_steps:
+                    n_ramp = n_ramp_b
+                else:
+                    import logging
+                    logging.getLogger("MCMC").warning(
+                        "ramp_block=%d requested but the step grid's dt "
+                        "changes do not align to block boundaries "
+                        "(output-aligned grid or truncated ramp); "
+                        "refactorizing every ramp step.", R)
+                    ramp_block = 1
             # round the plateau length up to a multiple of the refactor
             # period (extra steps repeat the final dt; outputs unaffected)
             n_steps += (-(n_steps - n_ramp)) % int(refactor_every)
@@ -187,6 +212,7 @@ def make_forward_plan(lengths, nxes, meas_types, times_list, hmax=4.0,
                else np.stack([g.out_w for g in padded])),
         n_ramp=n_ramp,
         refactor_every=int(refactor_every),
+        ramp_block=int(ramp_block),
     )
 
 
@@ -212,7 +238,7 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
                         model="std", scheme="sdirk3", newton_iters=2,
                         min_y=None, backend="xla", block_b=None, out_w=None,
                         refactor_every=1, n_ramp=None, layout="auto",
-                        batch_mult=1):
+                        batch_mult=1, ramp_block=1):
     """Run a batch of forward simulations and return linear observables in
     measurement units (TRPL [cm^-2 s^-1] / TRTS, selected per row).
 
@@ -296,7 +322,8 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
             p, y0, dts, jnp.asarray(dx, dtype), model=model,
             scheme_name=scheme, newton_iters=newton_iters, block_b=block_b,
             interpret=(backend == "pallas_interpret"),
-            refactor_every=refactor_every, n_ramp=n_ramp)
+            refactor_every=refactor_every, n_ramp=n_ramp,
+            ramp_block=ramp_block)
     else:
         # State representation (solver/sdirk.py dispatch note): PLANES on
         # TPU (fully tiled (B, nx) ops — 2.67x less VPU/VMEM than stacked),
@@ -325,7 +352,7 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
         pl_t, trts_t = integrate_observables(
             rhs, observe, y0i, dts, scheme_name=scheme,
             newton_iters=newton_iters, refactor_every=refactor_every,
-            n_ramp=n_ramp, jac=jac)
+            n_ramp=n_ramp, jac=jac, ramp_block=ramp_block)
 
     if out_w is None:
         # (n_steps+1, B) -> (B, nt) gather at output knots
@@ -357,7 +384,7 @@ def solve_single(init_dN, raw_params, thickness, nx, t_out, meas="TRPL",
                  model="std", hmax=4.0, scheme="sdirk3", newton_iters=2,
                  dtype=jnp.float64, refine=1, h0=1e-3, growth=1.25,
                  align_outputs=True, refactor_every=1, backend="xla",
-                 tail_growth=1.0, tail_block=1):
+                 tail_growth=1.0, tail_block=1, ramp_block=1):
     """Convenience single-simulation solve (tests, GUI quicksim).
 
     Mirrors the oracle's :func:`solve_reference` interface.
@@ -367,7 +394,8 @@ def solve_single(init_dN, raw_params, thickness, nx, t_out, meas="TRPL",
         model=model, scheme=scheme, newton_iters=newton_iters, refine=refine,
         h0=h0, growth=growth, align_outputs=align_outputs,
         refactor_every=refactor_every,
-        tail_growth=tail_growth, tail_block=tail_block)
+        tail_growth=tail_growth, tail_block=tail_block,
+        ramp_block=ramp_block)
     params_b = {k: jnp.asarray([v], dtype) for k, v in raw_params.items()}
     sol = solve_forward_batch(
         jnp.asarray(init_dN, dtype)[None],
@@ -379,5 +407,6 @@ def solve_single(init_dN, raw_params, thickness, nx, t_out, meas="TRPL",
         model=model, scheme=scheme, newton_iters=newton_iters,
         backend=backend,
         out_w=(None if plan.out_w is None else jnp.asarray(plan.out_w, dtype)),
-        refactor_every=plan.refactor_every, n_ramp=plan.n_ramp)
+        refactor_every=plan.refactor_every, n_ramp=plan.n_ramp,
+        ramp_block=plan.ramp_block)
     return np.asarray(sol[0])

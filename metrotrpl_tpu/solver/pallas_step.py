@@ -46,7 +46,7 @@ N_PARAM_FIELDS = len(ScaledParams._fields)
 
 def _solve_kernel(dt_ref, y0_ref, par_ref, dx_ref, pl_ref, tr_ref, *,
                   model, scheme_name, newton_iters, n_steps, n_ramp,
-                  refactor_every):
+                  refactor_every, ramp_block=1):
     """Kernel: integrate one batch tile through all steps.
 
     dt_ref    (Bt, n_steps)    per-step sizes
@@ -106,29 +106,16 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dx_ref, pl_ref, tr_ref, *,
 
     pl0, tr0 = observed(y, 0)
 
-    def one_step(y, h):
-        factors = sdirk_factors(rhs, y, h, scheme, jac=jac)
-        return sdirk_stages(rhs, y, h, scheme, factors, newton_iters)
-
     n_phase1 = n_steps if n_ramp is None else n_ramp
 
-    def body1(k, carry):
-        y, pl_acc, tr_acc = carry
-        y_new = one_step(y, dt_at(k))
-        d_pl, d_tr = observed(y_new, k + 1)
-        return y_new, pl_acc + d_pl, tr_acc + d_tr
-
-    y, pl_acc, tr_acc = jax.lax.fori_loop(
-        0, n_phase1, body1, (y, pl0, tr0), unroll=False)
-
-    if n_ramp is not None and n_ramp < n_steps:
-        F = int(refactor_every)
-        n_blocks = (n_steps - n_ramp) // F
-
-        def body2(b, carry):
+    def make_block_body(k_base, F):
+        # One factorization per F-step block; dt is constant within each
+        # block by the plan contract (F=1 degenerates to per-step
+        # refactorization — the plain non-chord stepper).
+        def body(b, carry):
             y, pl_acc, tr_acc = carry
-            k0 = n_ramp + b * F
-            h = dt_at(k0)  # constant within the block by plan contract
+            k0 = k_base + b * F
+            h = dt_at(k0)
             factors = sdirk_factors(rhs, y, h, scheme, jac=jac)
             for i in range(F):
                 y = sdirk_stages(rhs, y, h, scheme, factors, newton_iters)
@@ -136,9 +123,18 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dx_ref, pl_ref, tr_ref, *,
                 pl_acc = pl_acc + d_pl
                 tr_acc = tr_acc + d_tr
             return y, pl_acc, tr_acc
+        return body
 
+    R = int(ramp_block) if n_ramp is not None else 1
+    y, pl_acc, tr_acc = jax.lax.fori_loop(
+        0, n_phase1 // R, make_block_body(0, R), (y, pl0, tr0),
+        unroll=False)
+
+    if n_ramp is not None and n_ramp < n_steps:
+        F = int(refactor_every)
         y, pl_acc, tr_acc = jax.lax.fori_loop(
-            0, n_blocks, body2, (y, pl_acc, tr_acc), unroll=False)
+            0, (n_steps - n_ramp) // F, make_block_body(n_ramp, F),
+            (y, pl_acc, tr_acc), unroll=False)
 
     pl_ref[:] = pl_acc
     tr_ref[:] = tr_acc
@@ -147,7 +143,8 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dx_ref, pl_ref, tr_ref, *,
 def integrate_observables_pallas(params, y0, dts, dx, model="std",
                                  scheme_name="sdirk3", newton_iters=2,
                                  block_b=16, interpret=False,
-                                 refactor_every=1, n_ramp=None):
+                                 refactor_every=1, n_ramp=None,
+                                 ramp_block=1):
     """Fused-kernel counterpart of solver.sdirk.integrate_observables.
 
     params : ScaledParams with (B, 1)-shaped fields
@@ -161,8 +158,16 @@ def integrate_observables_pallas(params, y0, dts, dx, model="std",
     dtype = y0.dtype
     if B % block_b != 0:
         raise ValueError(f"batch {B} not divisible by block_b {block_b}")
-    if refactor_every <= 1:
+    if refactor_every <= 1 and ramp_block <= 1:
         n_ramp = None
+    if n_ramp is not None:
+        if ramp_block > 1 and n_ramp % ramp_block != 0:
+            raise ValueError(
+                f"ramp_block ({ramp_block}) must divide n_ramp ({n_ramp})")
+        if (n_steps - n_ramp) % refactor_every != 0:
+            raise ValueError(
+                f"refactor_every ({refactor_every}) must divide the "
+                f"plateau length ({n_steps - n_ramp})")
 
     par = jnp.stack([jnp.reshape(f, (B,)) for f in params], axis=1)  # (B,NP)
     dx2 = jnp.pad(jnp.asarray(dx, dtype)[:, None], ((0, 0), (0, 3)))  # (B,4)
@@ -172,7 +177,7 @@ def integrate_observables_pallas(params, y0, dts, dx, model="std",
     kernel = functools.partial(
         _solve_kernel, model=model, scheme_name=scheme_name,
         newton_iters=newton_iters, n_steps=n_steps, n_ramp=n_ramp,
-        refactor_every=refactor_every)
+        refactor_every=refactor_every, ramp_block=ramp_block)
 
     grid = (B // block_b,)
     pl_t, tr_t = pl.pallas_call(

@@ -166,7 +166,7 @@ def sdirk_step(rhs, y, h, scheme, newton_iters=2, jac=None):
 
 def integrate_observables(rhs, observe, y0, dts, scheme_name="sdirk3",
                           newton_iters=2, refactor_every=1, n_ramp=None,
-                          jac=None):
+                          jac=None, ramp_block=1):
     """Scan the stepper over a step-size sequence, emitting observables.
 
     y0 : plane-tuple state (C arrays of (..., n)).
@@ -176,13 +176,15 @@ def integrate_observables(rhs, observe, y0, dts, scheme_name="sdirk3",
     initial state's observables at index 0.
 
     refactor_every > 1 enables chord (stale-Jacobian) stepping in the
-    constant-step tail: steps [0, n_ramp) factor the Newton matrix every
-    step (the ramp, where h changes), then blocks of `refactor_every`
-    steps share one factorization. Requires every row's dt to be constant
-    from n_ramp on and (n_steps - n_ramp) divisible by refactor_every
-    (guaranteed by make_forward_plan). The Jacobian of the decaying
-    solution varies slowly at the plateau, so modified Newton keeps its
-    contraction; validated against refactor_every=1 in tests.
+    constant-step tail: blocks of `refactor_every` steps past n_ramp share
+    one factorization. ramp_block > 1 does the same INSIDE the ramp
+    ([0, n_ramp)): plan_time_grid's stepped ramp holds dt constant within
+    each ramp_block-sized block, so one factorization (at the block's h)
+    serves the whole block. Requires dt constant within every block and
+    the phase lengths divisible by the block sizes (guaranteed by
+    make_forward_plan). The Jacobian of the decaying solution varies
+    slowly, so modified Newton keeps its contraction; validated against
+    per-step refactorization in tests.
     """
     scheme = SDIRK_SCHEMES[scheme_name]
     n_steps = dts.shape[0]
@@ -193,36 +195,41 @@ def integrate_observables(rhs, observe, y0, dts, scheme_name="sdirk3",
 
     first = jax.tree.map(lambda x: x[None], observe(y0))
 
-    if refactor_every <= 1 or n_ramp is None or n_ramp >= n_steps:
+    if n_ramp is None or (refactor_every <= 1 and ramp_block <= 1):
         _, obs = jax.lax.scan(body, y0, dts)
         return jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=0), first, obs)
 
-    F = int(refactor_every)
-    if (n_steps - n_ramp) % F != 0:
-        raise ValueError(
-            f"refactor_every ({F}) must divide the plateau length "
-            f"(n_steps - n_ramp = {n_steps - n_ramp})")
+    def blocked_scan(y, seq, F, phase):
+        """Chord-scan `seq` in blocks of F steps sharing one factorization
+        (dt constant within each block by the plan contract)."""
+        if seq.shape[0] == 0:
+            return y, None
+        if F <= 1:
+            return jax.lax.scan(body, y, seq)
+        if seq.shape[0] % F != 0:
+            raise ValueError(
+                f"block size {F} must divide the {phase} length "
+                f"({seq.shape[0]})")
+        blocks = seq.reshape((seq.shape[0] // F, F) + seq.shape[1:])
 
-    y_mid, obs1 = jax.lax.scan(body, y0, dts[:n_ramp])
+        def block_body(y, dt_blk):
+            # one factorization per block; h is constant within the block
+            factors = sdirk_factors(rhs, y, dt_blk[0], scheme, jac=jac)
+            outs = []
+            for i in range(F):
+                y = sdirk_stages(rhs, y, dt_blk[i], scheme, factors,
+                                 newton_iters)
+                outs.append(observe(y))
+            obs_blk = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
+            return y, obs_blk
 
-    tail = dts[n_ramp:]
-    blocks = tail.reshape((tail.shape[0] // F, F) + tail.shape[1:])
+        y, obs = jax.lax.scan(block_body, y, blocks)
+        return y, jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), obs)
 
-    def block_body(y, dt_blk):
-        # one factorization per block; h is constant within the block
-        factors = sdirk_factors(rhs, y, dt_blk[0], scheme, jac=jac)
-        outs = []
-        for i in range(F):
-            y = sdirk_stages(rhs, y, dt_blk[i], scheme, factors,
-                             newton_iters)
-            outs.append(observe(y))
-        obs_blk = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
-        return y, obs_blk
-
-    _, obs2 = jax.lax.scan(block_body, y_mid, blocks)
-    obs2 = jax.tree.map(
-        lambda x: x.reshape((-1,) + x.shape[2:]), obs2)
+    y_mid, obs1 = blocked_scan(y0, dts[:n_ramp], int(ramp_block), "ramp")
+    _, obs2 = blocked_scan(y_mid, dts[n_ramp:], int(refactor_every),
+                           "plateau")
+    parts = [p for p in (first, obs1, obs2) if p is not None]
     return jax.tree.map(
-        lambda a, b, c: jnp.concatenate([a, b, c], axis=0),
-        first, obs1, obs2)
+        lambda *xs: jnp.concatenate(xs, axis=0), *parts)

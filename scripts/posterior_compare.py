@@ -130,16 +130,28 @@ def oracle_logll(t, vals, state):
     return ll
 
 
-def run_oracle_mh(t, vals, n_iters, partial_path=None):
-    rng = np.random.default_rng(SEED + 1)
+def run_oracle_mh(t, vals, n_iters, partial_path=None, resume=None):
     state = dict(TRUE)
     state.update(START)
-    x = {k: np.log10(state[k]) for k in ACTIVE}
-    ll = oracle_logll(t, vals, state)
     samples = {k: np.empty(n_iters) for k in ACTIVE}
     n_acc = 0
+    it0 = 0
+    if resume is not None:
+        # Continue a killed run from its last saved state. MH is Markov,
+        # so restarting from the last sample with a fresh RNG substream
+        # yields a valid chain (the substream is keyed off the resume
+        # point for reproducibility of the resumed portion).
+        it0 = int(resume["n_done"])
+        for k in ACTIVE:
+            samples[k][:it0] = resume[k]
+            state[k] = float(resume[k][-1])
+        n_acc = int(round(float(resume["acc"]) * it0))
+        print(f"  (oracle MH resuming at {it0}/{n_iters})", flush=True)
+    rng = np.random.default_rng(SEED + 1 + it0)
+    x = {k: np.log10(state[k]) for k in ACTIVE}
+    ll = oracle_logll(t, vals, state)
     clock = time.perf_counter()
-    for it in range(n_iters):
+    for it in range(it0, n_iters):
         # log-space uniform proposal with hard-bounds retry
         # (reference trial_move_generation.py:51-97)
         for _ in range(100):
@@ -170,8 +182,8 @@ def run_oracle_mh(t, vals, n_iters, partial_path=None):
             samples[k][it] = 10 ** x[k]
         if (it + 1) % 200 == 0:
             print(f"  oracle MH {it + 1}/{n_iters} "
-                  f"({(time.perf_counter() - clock) / (it + 1):.2f} s/iter, "
-                  f"accept {n_acc / (it + 1):.2f})", flush=True)
+                  f"({(time.perf_counter() - clock) / (it + 1 - it0):.2f} "
+                  f"s/iter, accept {n_acc / (it + 1):.2f})", flush=True)
             if partial_path:
                 # monitorable progress snapshot (the full cache is only
                 # written on completion)
@@ -263,8 +275,14 @@ def _cached_oracle_mh(t, vals, n_iters):
         z = np.load(cache)
         print(f"  (oracle MH from cache {cache})", flush=True)
         return {k: z[k] for k in ACTIVE}, float(z["acc"])
+    resume = None
+    if os.path.exists(cache + ".partial.npz"):
+        part = np.load(cache + ".partial.npz")
+        if int(part["n_done"]) < n_iters:
+            resume = part
     samples, acc = run_oracle_mh(t, vals, n_iters,
-                                 partial_path=cache + ".partial.npz")
+                                 partial_path=cache + ".partial.npz",
+                                 resume=resume)
     np.savez(cache, acc=acc, **samples)
     return samples, acc
 

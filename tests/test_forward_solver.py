@@ -311,6 +311,78 @@ def test_pallas_interpret_chord_matches_xla():
                                rtol=2e-5)
 
 
+def test_ramp_block_plan_structure():
+    """ramp_block > 1 produces a stepped ramp: dt constant (to knot-sum
+    roundoff) within every ramp_block-sized block, n_ramp a block multiple,
+    and the per-step envelope never above the smooth ramp's (accuracy can
+    only improve)."""
+    from metrotrpl_tpu.solver.forward import make_forward_plan
+
+    t_out = np.linspace(0, 2000, 201)
+    smooth = make_forward_plan([311.0], [64], ["TRPL"], [t_out], hmax=48.0,
+                               align_outputs=False, refactor_every=4)
+    for R in (4, 8):
+        p = make_forward_plan([311.0], [64], ["TRPL"], [t_out], hmax=48.0,
+                              align_outputs=False, refactor_every=4,
+                              ramp_block=R)
+        assert p.ramp_block == R
+        assert p.n_ramp is not None and p.n_ramp % R == 0
+        blocks = p.dt[0][:p.n_ramp].reshape(-1, R)
+        # knots are accumulated sums, so intra-block dt matches to ULPs,
+        # not exactly (the plan's change detection uses the same rtol)
+        assert np.all(np.abs(blocks - blocks[:, :1]) < 1e-12 * blocks[:, :1])
+        # stepped envelope <= smooth envelope, step for step
+        n = min(smooth.n_ramp, p.n_ramp)
+        assert np.all(p.dt[0][:n] <= smooth.dt[0][:n] * (1 + 1e-12))
+
+
+def test_ramp_block_chord_matches_per_step():
+    """Chord (stale-factor) stepping INSIDE the stepped ramp must agree
+    with per-step refactorization on the same step grid to Newton-
+    convergence accuracy (isolates the chord error from the grid change)."""
+    import jax.numpy as jnp
+
+    from metrotrpl_tpu.solver.forward import make_forward_plan, solve_forward_batch
+
+    thickness, nx = 311.0, 64
+    params = staub_params()
+    init_dN = _ic(thickness, nx)
+    t_out = np.linspace(0, 2000, 201)
+    plan = make_forward_plan([thickness], [nx], ["TRPL"], [t_out], hmax=48.0,
+                             align_outputs=False, refactor_every=4,
+                             ramp_block=4)
+    assert plan.ramp_block == 4
+
+    pb = {k: jnp.asarray([v]) for k, v in params.items()}
+    args = (jnp.asarray(init_dN)[None], pb, jnp.asarray(plan.dx),
+            jnp.asarray(plan.dt), jnp.asarray(plan.out_idx),
+            jnp.asarray(plan.is_trpl))
+    kw = dict(out_w=jnp.asarray(plan.out_w), n_ramp=plan.n_ramp,
+              refactor_every=plan.refactor_every, backend="xla")
+    s_chord = np.asarray(solve_forward_batch(*args, ramp_block=4, **kw))[0]
+    s_exact = np.asarray(solve_forward_batch(*args, ramp_block=1, **kw))[0]
+    err = np.abs(np.log10(s_chord) - np.log10(s_exact))
+    assert err.max() < 1e-5, f"max log10 err {err.max():.2e}"
+
+
+def test_ramp_block_misaligned_grid_degrades_loudly(caplog):
+    """An output-aligned grid splits ramp blocks (output knots interleave
+    the ramp), so ramp_block > 1 must fall back to per-step ramp
+    refactorization with a warning instead of silently chording across a
+    dt change."""
+    import logging
+
+    from metrotrpl_tpu.solver.forward import make_forward_plan
+
+    t = np.linspace(0, 2000, 101)
+    with caplog.at_level(logging.WARNING, logger="MCMC"):
+        plan = make_forward_plan(
+            [311.0], [24], ["TRPL"], [t], hmax=16.0, align_outputs=True,
+            refactor_every=4, ramp_block=4)
+    assert plan.ramp_block == 1
+    assert any("do not align" in r.message for r in caplog.records)
+
+
 def test_tail_growth_grid():
     """Stepped-geometric tail (tail_growth): fewer steps, positive monotone
     knots ending exactly at t_final; tail_growth=1 stays bit-identical to
