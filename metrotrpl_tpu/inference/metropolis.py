@@ -42,8 +42,10 @@ from metrotrpl_tpu.inference.moves import build_move_plan
 
 class MHKernel(NamedTuple):
     """Compiled window runner + static run info."""
-    run_window: callable      # (states, ll_T, k0, key) ->
+    run_window: callable      # (states, ll_T, k0, key[, n_valid]) ->
                               # (states, ll_T, swap_att, swap_acc, nfail, hist)
+                              # n_valid (default window): real iterations;
+                              # the scan tail past it is masked to no-ops
     init_ll: callable         # states -> ll_T
     n_chains: int
     temps: np.ndarray
@@ -90,11 +92,15 @@ def build_mh_kernel(like_plan, move_plan, temps, base_trial_move, temper_freq,
         window, dtype, single_device_topology(E_l=1, K=K))
 
     @jax.jit
-    def run_window(states, ll_T, k0, base_key):
-        out = window_body(states[None], ll_T[None], k0, base_key)
+    def _run_window(states, ll_T, k0, base_key, n_valid):
+        out = window_body(states[None], ll_T[None], k0, base_key, n_valid)
         states_l, ll_l, swap_att, swap_acc, nfail, hist = out
         return (states_l[0], ll_l[0], swap_att[0], swap_acc[0], nfail,
                 jax.tree.map(lambda h: h[:, 0], hist))
+
+    def run_window(states, ll_T, k0, base_key, n_valid=None):
+        nv = jnp.asarray(window if n_valid is None else n_valid, jnp.int32)
+        return _run_window(states, ll_T, k0, base_key, nv)
 
     @jax.jit
     def init_ll(states):
@@ -116,14 +122,23 @@ def vmap_ensembles(kernel):
     simultaneous simulations — there prefer
     :func:`run_ensembles_sequential`.
     """
+    vrun = jax.jit(jax.vmap(
+        lambda s, ll, k0, key, nv: kernel.run_window(s, ll, k0, key, nv),
+        in_axes=(0, 0, None, 0, None)))
+
+    def run_window_E(states, ll, k0, keys, n_valid=None):
+        nv = jnp.asarray(kernel.window if n_valid is None else n_valid,
+                         jnp.int32)
+        return vrun(states, ll, k0, keys, nv)
+
     return kernel._replace(
-        run_window=jax.jit(jax.vmap(kernel.run_window,
-                                    in_axes=(0, 0, None, 0))),
+        run_window=run_window_E,
         init_ll=jax.jit(jax.vmap(kernel.init_ll)),
     )
 
 
-def run_ensembles_sequential(kernel, states_E, ll_E, k0, keys_E):
+def run_ensembles_sequential(kernel, states_E, ll_E, k0, keys_E,
+                             n_valid=None):
     """Advance E independent tempered ensembles one window each by running
     the compiled single-ensemble kernel back-to-back.
 
@@ -139,9 +154,23 @@ def run_ensembles_sequential(kernel, states_E, ll_E, k0, keys_E):
     states_E : (E, K, P); ll_E : (E, K, Kt); keys_E : (E,) PRNG keys.
     Returns stacked (states, ll, swap_att, swap_acc, hist) with leading E.
     """
-    outs = [kernel.run_window(states_E[e], ll_E[e], k0, keys_E[e])
+    outs = [kernel.run_window(states_E[e], ll_E[e], k0, keys_E[e], n_valid)
             for e in range(states_E.shape[0])]
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
+
+
+def _restore_carried_ll(ensembles, K):
+    """The (K, K) tempered ll matrix each chain carried at checkpoint
+    time, or None if any replica lacks one (pre-carried-ll pickles,
+    reference pickles, or a rewound resume). Restoring it instead of
+    re-evaluating makes resume bit-exact: a standalone init_ll compiles a
+    different reduction order than the same eval fused inside the window
+    scan (~1 ulp on the PDE likelihood), and the carried ll persists in
+    History through rejected moves."""
+    mats = [getattr(ens, "_carried_ll", None) for ens in ensembles]
+    if any(m is None or np.shape(m) != (K, K) for m in mats):
+        return None
+    return np.stack(mats)
 
 
 def _even_window(total_iters, checkpoint_freq):
@@ -222,7 +251,10 @@ def run_mh_fused(ensembles, like_plan, move_plan, logger, seeds,
     kernel = vmap_ensembles(base_kernel)
     safe_kernel = None  # built on first escalation (single-ensemble inline)
 
-    ll_E = kernel.init_ll(states_E)
+    carried = (None if need_initial_state
+               else _restore_carried_ll(ensembles, K))
+    ll_E = (kernel.init_ll(states_E) if carried is None
+            else jnp.asarray(carried, dtype))
     if need_initial_state:
         logger.info(f"Simulating initial state ({E} fused ensembles):")
         ll_diag = np.asarray(jnp.take_along_axis(
@@ -239,7 +271,8 @@ def run_mh_fused(ensembles, like_plan, move_plan, logger, seeds,
                     f"({E} fused ensembles)")
         t_win = perf_counter()
         states_in, ll_in = states_E, ll_E
-        out = kernel.run_window(states_E, ll_E, jnp.asarray(k), keys_E)
+        out = kernel.run_window(states_E, ll_E, jnp.asarray(k), keys_E,
+                                n_this)
         states_E, ll_E, swap_att, swap_acc, nfail, hist = out
         jax.block_until_ready(states_E)
         nfail_h = np.asarray(nfail)
@@ -260,7 +293,8 @@ def run_mh_fused(ensembles, like_plan, move_plan, logger, seeds,
                     f"{int(nfail_h[e])} diverged solves; re-running with "
                     "inline solver escalation")
                 fixes[int(e)] = safe_kernel.run_window(
-                    states_in[e], ll_in[e], jnp.asarray(k), keys_E[e])
+                    states_in[e], ll_in[e], jnp.asarray(k), keys_E[e],
+                    n_this)
             outs = [jax.tree.map(lambda a, e=e: a[e], out)
                     for e in range(E)]
             for e, fix in fixes.items():
@@ -277,6 +311,7 @@ def run_mh_fused(ensembles, like_plan, move_plan, logger, seeds,
             f"({n_this * K * E / max(dt_win, 1e-9):.1f} "
             "aggregate walker-steps/s)")
         h_states, h_ll, h_accept = (np.asarray(h) for h in hist)
+        ll_host = np.asarray(ll_E)
         for e, ens in enumerate(ensembles):
             H = ens.H
             # scan emits `window` iterations; keep the first n_this
@@ -287,6 +322,7 @@ def run_mh_fused(ensembles, like_plan, move_plan, logger, seeds,
             H.swap_attempts += np.asarray(swap_att[e])
             H.swap_accept += np.asarray(swap_acc[e])
             ens.latest_iter = k + n_this
+            ens._carried_ll = ll_host[e]
         k += n_this
         if k < num_iters:
             logger.info(f"Saving checkpoints at k={k}")
@@ -379,7 +415,12 @@ def run_mh_sharded(ensembles, like_plan, move_plan, logger, seed,
     safe_kernel = kernel if escalate == "inline" else None
     states_E = jax.device_put(states_E, kernel.state_sharding)
 
-    ll_E = kernel.init_ll(states_E)
+    carried = (None if need_initial_state
+               else _restore_carried_ll(ensembles, K))
+    ll_E = (kernel.init_ll(states_E) if carried is None
+            # ll (E, K, K) shards like states (E, K, P): P(ens, chains, -)
+            else jax.device_put(jnp.asarray(carried, dtype),
+                                kernel.state_sharding))
     if need_initial_state:
         logger.info(f"Simulating initial state ({E} ensembles on "
                     f"{d_e}x{d_c} device mesh):")
@@ -399,13 +440,13 @@ def run_mh_sharded(ensembles, like_plan, move_plan, logger, seed,
         if profile_dir and not profiled:
             with jax.profiler.trace(profile_dir):
                 out = kernel.run_window(states_E, ll_E, jnp.asarray(k),
-                                        base_key)
+                                        base_key, n_this)
                 jax.block_until_ready(out[0])
             profiled = True
             logger.info(f"Profiler trace written to {profile_dir}")
         else:
             out = kernel.run_window(states_E, ll_E, jnp.asarray(k),
-                                    base_key)
+                                    base_key, n_this)
         states_E, ll_E, swap_att, swap_acc, nfail, hist = out
         jax.block_until_ready(states_E)
         if int(nfail) and escalate is True:
@@ -419,7 +460,7 @@ def run_mh_sharded(ensembles, like_plan, move_plan, logger, seed,
             if safe_kernel is None:
                 safe_kernel = _build("inline")
             out = safe_kernel.run_window(states_in, ll_in, jnp.asarray(k),
-                                         base_key)
+                                         base_key, n_this)
             states_E, ll_E, swap_att, swap_acc, nfail, hist = out
             jax.block_until_ready(states_E)
             if int(nfail):
@@ -433,6 +474,7 @@ def run_mh_sharded(ensembles, like_plan, move_plan, logger, seed,
             "aggregate walker-steps/s)")
         # history: (window, E, K, ...) gathered to host once per window
         h_states, h_ll, h_accept = (np.asarray(h) for h in hist)
+        ll_host = np.asarray(ll_E)
         for e, ens in enumerate(ensembles):
             H = ens.H
             H.states[:, :, k:k + n_this] = (
@@ -442,6 +484,7 @@ def run_mh_sharded(ensembles, like_plan, move_plan, logger, seed,
             H.swap_attempts += np.asarray(swap_att[e])
             H.swap_accept += np.asarray(swap_acc[e])
             ens.latest_iter = k + n_this
+            ens._carried_ll = ll_host[e]
         k += n_this
         if k < num_iters:
             logger.info(f"Saving checkpoints at k={k}")
@@ -536,7 +579,10 @@ def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
     kernel = _build("inline" if escalate == "inline" else "off")
     safe_kernel = kernel if escalate == "inline" else None
 
-    ll_T = kernel.init_ll(states)
+    carried = (None if need_initial_state
+               else _restore_carried_ll([ensemble], K))
+    ll_T = (kernel.init_ll(states) if carried is None
+            else jnp.asarray(carried[0], dtype))
     if need_initial_state:
         H.loglikelihood[:, 0] = np.asarray(
             jnp.take_along_axis(ll_T, jnp.arange(K)[:, None], axis=1))[:, 0]
@@ -554,12 +600,13 @@ def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
             # reference's wall-clock accumulators, SURVEY.md section 5)
             with jax.profiler.trace(profile_dir):
                 out = kernel.run_window(
-                    states, ll_T, jnp.asarray(k), base_key)
+                    states, ll_T, jnp.asarray(k), base_key, n_this)
                 jax.block_until_ready(out[0])
             profiled = True
             logger.info(f"Profiler trace written to {profile_dir}")
         else:
-            out = kernel.run_window(states, ll_T, jnp.asarray(k), base_key)
+            out = kernel.run_window(states, ll_T, jnp.asarray(k), base_key,
+                                    n_this)
         states, ll_T, swap_att, swap_acc, nfail, hist = out
         jax.block_until_ready(states)
         if int(nfail) and escalate is True:
@@ -575,7 +622,7 @@ def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
                 safe_kernel = _build("inline")
             states, ll_T, swap_att, swap_acc, nfail, hist = (
                 safe_kernel.run_window(states_in, ll_in, jnp.asarray(k),
-                                       base_key))
+                                       base_key, n_this))
             jax.block_until_ready(states)
             if int(nfail):
                 logger.warning(
@@ -594,6 +641,7 @@ def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
         H.swap_accept += np.asarray(swap_acc)
         k += n_this
         ensemble.latest_iter = k
+        ensemble._carried_ll = np.asarray(ll_T)
         if k < num_iters:
             logger.info(f"Saving checkpoint at k={k}")
             ensemble.checkpoint(
@@ -650,6 +698,10 @@ def _resume_starting_iter(ensembles, MCMC_fields, num_iters):
     else:
         start = min(latest, num_iters)
     for ens in ensembles:
+        if start != ens.latest_iter:
+            # rewound (or lockstep-misaligned) resume: the checkpointed
+            # carried ll belongs to a later state — stale, recompute
+            ens._carried_ll = None
         # drop history past start, then grow to the new total; keep the
         # progress marker consistent so an interrupt before the first new
         # window completes never checkpoints zeroed rows as walked

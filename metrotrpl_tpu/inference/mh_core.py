@@ -114,16 +114,25 @@ def make_window_body(eval_nf, move_plan, widths, temper_freq, do_tempering,
     widths : (K, P) temperature-scaled proposal half-widths (global rows).
     topo : MHTopology.
 
-    Returns window_body(states_l, ll_l, k0, base_key) ->
+    Returns window_body(states_l, ll_l, k0, base_key, n_valid) ->
         (states_l, ll_l, swap_att (E_l, K_l), swap_acc (E_l, K_l),
          nfail (), hist=(states, ll_own, accept) stacked over the window).
+
+    n_valid : dynamic int32 — iterations [k0, k0 + n_valid) are real;
+        the remaining scan-tail iterations of a partial final window
+        (window is a compiled-in static length) are masked to no-ops:
+        no accept, no swap, no counter/nfail updates. Without the mask
+        the phantom tail advanced the carried states/ll past num_iters
+        and inflated the swap counters (History was already sliced to
+        the valid prefix by the drivers).
     """
     E_l, K_l = topo.E_l, topo.K_l
     widths_j = jnp.asarray(widths, dtype)
 
-    def window_body(states_l, ll_l, k0, base_key):
+    def window_body(states_l, ll_l, k0, base_key, n_valid):
         e0, c0 = topo.offsets()
         own_cols = c0 + jnp.arange(K_l)       # global temp index per row
+        k_end = k0 + n_valid
 
         def propose(states_l, k_prop):
             def per_row(e, c, s):
@@ -148,12 +157,13 @@ def make_window_body(eval_nf, move_plan, widths, temper_freq, do_tempering,
 
         def one_iter(carry, k):
             states_l, ll_l, swap_att, swap_acc, nfail = carry
+            valid = k < k_end
             key_iter = jax.random.fold_in(base_key, k)
             k_prop, k_acc, k_swap = jax.random.split(key_iter, 3)
 
             new_states = propose(states_l, k_prop)
             new_ll, nf = eval_nf(new_states)
-            nfail = nfail + nf
+            nfail = nfail + jnp.where(valid, nf, 0)
 
             ll_own_new = jnp.take_along_axis(
                 new_ll, own_cols[None, :, None], axis=2)[..., 0]
@@ -168,14 +178,14 @@ def make_window_body(eval_nf, move_plan, widths, temper_freq, do_tempering,
             u = jax.vmap(lambda e: jax.vmap(
                 lambda c: jax.random.uniform(acc_key(e, c), (), dtype)
             )(jnp.arange(K_l)))(jnp.arange(E_l))
-            accept = u < jnp.exp(logratio)
+            accept = (u < jnp.exp(logratio)) & valid
 
             states_l = jnp.where(accept[..., None], new_states, states_l)
             ll_l = jnp.where(accept[..., None], new_ll, ll_l)
 
             if do_tempering:
                 states_l, ll_l, swap_att, swap_acc = jax.lax.cond(
-                    (k % temper_freq) == 0,
+                    ((k % temper_freq) == 0) & valid,
                     lambda c: swap(*c, k_swap),
                     lambda c: c,
                     (states_l, ll_l, swap_att, swap_acc))

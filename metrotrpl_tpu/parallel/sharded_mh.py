@@ -58,7 +58,8 @@ def shard_map(f, mesh, in_specs, out_specs):
 
 
 class ShardedMHKernel(NamedTuple):
-    run_window: callable   # (states (E,K,P), ll_T (E,K,K), k0, key) -> ...
+    run_window: callable   # (states (E,K,P), ll_T (E,K,K), k0, key
+                           #  [, n_valid=window]) -> ...
     init_ll: callable      # states (E,K,P) -> (E,K,K)
     state_sharding: object  # NamedSharding for the states operand
     n_ens: int
@@ -152,12 +153,16 @@ def build_sharded_mh_kernel(like_plan, move_plan, temps, base_trial_move,
     hist_spec = (P(None, ens_ax, ch_ax, None), P(None, ens_ax, ch_ax),
                  P(None, ens_ax, ch_ax))
 
-    run_window = jax.jit(shard_map(
+    _run_window = jax.jit(shard_map(
         window_body, mesh=mesh,
-        in_specs=(sspec, lspec, P(), P()),
+        in_specs=(sspec, lspec, P(), P(), P()),
         out_specs=(sspec, lspec, P(ens_ax, ch_ax), P(ens_ax, ch_ax),
                    P(), hist_spec),
     ))
+
+    def run_window(states, ll, k0, base_key, n_valid=None):
+        nv = jnp.asarray(window if n_valid is None else n_valid, jnp.int32)
+        return _run_window(states, ll, k0, base_key, nv)
 
     init_ll = jax.jit(shard_map(
         _local_init_ll, mesh=mesh, in_specs=(sspec,), out_specs=lspec,

@@ -130,12 +130,36 @@ def oracle_logll(t, vals, state):
     return ll
 
 
-def run_oracle_mh(t, vals, n_iters, partial_path=None, resume=None):
+def run_oracle_mh(t, vals, n_iters, partial_path=None, resume=None,
+                  cov=None, start=None):
+    """Serial reference-math Metropolis chain.
+
+    cov : optional (d, d) log10-space proposal covariance. None (default)
+        = the reference's per-parameter uniform proposal of half-width
+        WIDTH. Given = a symmetric Gaussian ridge proposal x' = x + L z
+        (L = chol(cov)) — used as phase 2 of the two-phase scheme for
+        strongly correlated posteriors: phase 1 (uniform) estimates the
+        ridge covariance, phase 2 runs a FIXED-covariance Markov chain
+        whose samples alone enter the comparison. The proposal is
+        symmetric either way, so the stationary distribution (the shared
+        truncated posterior) is identical; only the mixing rate differs.
+    start : optional {param: value} initial state (phase 2 starts from
+        the warmup chain's last draw).
+    """
     state = dict(TRUE)
     state.update(START)
+    if start is not None:
+        state.update(start)
     samples = {k: np.empty(n_iters) for k in ACTIVE}
     n_acc = 0
     it0 = 0
+    # phase-2 chains draw from an independent substream so the warmup
+    # and ridge chains share no random numbers
+    seed0 = SEED + (100001 if cov is not None else 1)
+    L_chol = None
+    if cov is not None:
+        d = len(ACTIVE)
+        L_chol = np.linalg.cholesky(cov + 1e-12 * np.eye(d))
     if resume is not None:
         # Continue a killed run from its last saved state. MH is Markov,
         # so restarting from the last sample with a fresh RNG substream
@@ -147,15 +171,20 @@ def run_oracle_mh(t, vals, n_iters, partial_path=None, resume=None):
             state[k] = float(resume[k][-1])
         n_acc = int(round(float(resume["acc"]) * it0))
         print(f"  (oracle MH resuming at {it0}/{n_iters})", flush=True)
-    rng = np.random.default_rng(SEED + 1 + it0)
+    rng = np.random.default_rng(seed0 + it0)
     x = {k: np.log10(state[k]) for k in ACTIVE}
     ll = oracle_logll(t, vals, state)
     clock = time.perf_counter()
     for it in range(it0, n_iters):
-        # log-space uniform proposal with hard-bounds retry
+        # symmetric proposal with hard-bounds retry
         # (reference trial_move_generation.py:51-97)
         for _ in range(100):
-            xn = {k: x[k] + WIDTH * (2 * rng.random() - 1) for k in ACTIVE}
+            if L_chol is not None:
+                step = L_chol @ rng.standard_normal(len(ACTIVE))
+                xn = {k: x[k] + step[j] for j, k in enumerate(ACTIVE)}
+            else:
+                xn = {k: x[k] + WIDTH * (2 * rng.random() - 1)
+                      for k in ACTIVE}
             if not all(PRIOR[k][0] < 10 ** xn[k] < PRIOR[k][1]
                        for k in ACTIVE):
                 continue
@@ -287,6 +316,49 @@ def _cached_oracle_mh(t, vals, n_iters):
     return samples, acc
 
 
+def _cached_oracle_ridge(t, vals, n_iters, warm_n):
+    """Two-phase oracle for strongly correlated (ridge) posteriors —
+    the full preset's degenerate pairs (Sf/Sb, Cn/Cp, mu_n/mu_p) mix
+    orders of magnitude too slowly under the per-parameter uniform
+    proposal (ESS ~ 4-8 at 16k iterations) for a mean-level z-test.
+    Phase 1: the cached uniform-proposal chain (`warm_n` iterations)
+    estimates the log10 posterior covariance (post-burn, scaled by the
+    optimal 2.38^2/d). Phase 2: a FRESH fixed-covariance Gaussian MH
+    (independent RNG substream, started from the warmup's last draw)
+    whose samples alone are compared. The proposal stays symmetric, so
+    both phases target the identical truncated posterior; adaptation is
+    frozen before phase 2, keeping the compared chain strictly
+    Markovian."""
+    import hashlib
+
+    warm, _ = _cached_oracle_mh(t, vals, warm_n)
+    X = np.log10(np.stack([warm[k][warm_n // 3:] for k in ACTIVE], axis=1))
+    cov = np.cov(X.T) * (2.38 ** 2 / len(ACTIVE))
+    start = {k: float(warm[k][-1]) for k in ACTIVE}
+
+    consts = repr((NX, NT, T_END, LENGTHS, sorted(TRUE.items()), ACTIVE,
+                   sorted(START.items()), sorted(PRIOR.items()),
+                   WIDTH, SIGMA, UNC, FLU, warm_n,
+                   np.round(cov, 12).tolist()))
+    tag = hashlib.sha1(consts.encode()).hexdigest()[:10]
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f".oracle_rmh_{n_iters}_{SEED}_{tag}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        print(f"  (ridge oracle MH from cache {cache})", flush=True)
+        return {k: z[k] for k in ACTIVE}, float(z["acc"])
+    resume = None
+    if os.path.exists(cache + ".partial.npz"):
+        part = np.load(cache + ".partial.npz")
+        if int(part["n_done"]) < n_iters:
+            resume = part
+    samples, acc = run_oracle_mh(t, vals, n_iters,
+                                 partial_path=cache + ".partial.npz",
+                                 resume=resume, cov=cov, start=start)
+    np.savez(cache, acc=acc, **samples)
+    return samples, acc
+
+
 def ess_log10(x):
     """Effective sample size of a (possibly multi-chain) sample set in
     log10 space: per-chain integrated-autocorrelation-time ESS (initial
@@ -326,17 +398,30 @@ def main():
         i = argv.index("--refactor")
         refactor = int(argv[i + 1])
         del argv[i:i + 2]
+    ridge_warm = 0
+    if "--ridge" in argv:
+        # --ridge N: phase-2 ridge-proposal oracle with covariance from
+        # the cached N-iteration uniform warmup (_cached_oracle_ridge)
+        i = argv.index("--ridge")
+        ridge_warm = int(argv[i + 1])
+        del argv[i:i + 2]
     outname = argv[3] if len(argv) > 3 else "POSTERIOR_r02.md"
     t, vals = make_dataset()
+
+    def oracle_half():
+        if ridge_warm:
+            return _cached_oracle_ridge(t, vals, n_oracle, ridge_warm)
+        return _cached_oracle_mh(t, vals, n_oracle)
+
     if oracle_only:
         # warm the oracle cache without touching the accelerator
-        _cached_oracle_mh(t, vals, n_oracle)
+        oracle_half()
         return
     print("running tpu MH...", flush=True)
     tpu_samples, tpu_acc = run_tpu_mh(t, vals, n_tpu, hmax=hmax,
                                       refactor=refactor)
     print("running oracle MH...", flush=True)
-    oracle_samples, oracle_acc = _cached_oracle_mh(t, vals, n_oracle)
+    oracle_samples, oracle_acc = oracle_half()
 
     burn_o = n_oracle // 3
     burn_t = n_tpu // 3
@@ -353,7 +438,11 @@ def main():
         "* **oracle MH** — plain numpy/scipy serial Metropolis with LSODA",
         f"  forward solves (reference math), {n_oracle} iterations, "
         f"burn-in {burn_o},",
-        f"  acceptance {oracle_acc:.2f}.",
+        f"  acceptance {oracle_acc:.2f}."
+        + (f" Ridge proposal: fixed Gaussian covariance estimated from a"
+           f" {ridge_warm}-iteration uniform-proposal warmup chain"
+           " (same posterior, faster mixing along the degenerate"
+           " Sf/Sb, Cn/Cp, mu_n/mu_p directions)." if ridge_warm else ""),
         "* **tpu MH** — this framework's compiled kernel (fast solver",
         f"  mode, hmax={hmax:g}"
         + (f", chord refactor_every={refactor}" if refactor > 1
@@ -407,7 +496,8 @@ def main():
         "Reproduce: `python scripts/posterior_compare.py "
         f"{n_oracle} {n_tpu} {hmax:g} {outname}"
         + (f" --preset {PRESET}" if PRESET != "3p" else "")
-        + (f" --refactor {refactor}" if refactor > 1 else "") + "`.",
+        + (f" --refactor {refactor}" if refactor > 1 else "")
+        + (f" --ridge {ridge_warm}" if ridge_warm else "") + "`.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", outname)

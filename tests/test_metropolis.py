@@ -279,6 +279,33 @@ def test_resume_rewind_resets_progress_marker(tmp_path):
     assert not np.all(ens.H.states[:, :, 4:] == 0)
 
 
+def test_walk_invariant_to_checkpoint_partitioning(tmp_path):
+    """The SAME walk regardless of how it is cut into checkpoint windows
+    — including the swap counters. A partial final window scans its
+    compiled length but masks the tail iterations to no-ops (mh_core
+    n_valid); without the mask the phantom tail advanced the carried
+    states/ll past num_iters and inflated swap_attempts differently per
+    partitioning."""
+    n = 10
+    runs = []
+    for cpf in (n, 4, 3):
+        sim_info, pi, mcmc, e_data, iniPar = _pa_setup(
+            tmp_path, num_iters=n, checkpoint_freq=cpf)
+        mcmc["output_path"] = str(tmp_path / f"cpf{cpf}")
+        mcmc["temper_freq"] = 2
+        runs.append(metro(sim_info, iniPar, e_data, mcmc, pi,
+                          export_path="final.pik", seed=7))
+    a = runs[0]
+    # 4 valid temper rounds (k = 2,4,6,8) x (K-1 = 2) pair attempts each
+    assert a.H.swap_attempts.sum() == 8
+    for b in runs[1:]:
+        np.testing.assert_array_equal(a.H.states, b.H.states)
+        np.testing.assert_array_equal(a.H.loglikelihood, b.H.loglikelihood)
+        np.testing.assert_array_equal(a.H.accept, b.H.accept)
+        np.testing.assert_array_equal(a.H.swap_attempts, b.H.swap_attempts)
+        np.testing.assert_array_equal(a.H.swap_accept, b.H.swap_accept)
+
+
 def test_even_window_sizes():
     """Checkpoint windows split the walk near-equally (one compiled scan
     length, no discarded-tail iterations) and never exceed the requested

@@ -1,5 +1,6 @@
 """Multi-device sharding tests on the 8-virtual-device CPU mesh."""
 
+import os
 import sys
 
 import jax
