@@ -221,6 +221,8 @@ def parse_config_script_file(path):
                     MCMC_fields["refactor_every"] = int(value)
                 elif key.startswith("Solver ramp_block"):
                     MCMC_fields["ramp_block"] = int(value)
+                elif key.startswith("Solver newton_plateau"):
+                    MCMC_fields["newton_plateau"] = int(value)
                 elif key.startswith("Init mode"):
                     MCMC_fields["ini_mode"] = value
                 elif key.startswith("Likelihood-to-trial-move"):
@@ -560,6 +562,11 @@ def generate_config_script_file(
             comment(f, "Chord-mode Newton refactorization period inside "
                        "the early-time dt ramp (stepped ramp)")
             f.write(f"Solver ramp_block: {MCMC_fields['ramp_block']}\n")
+        if "newton_plateau" in MCMC_fields:
+            comment(f, "Newton iterations per stage on the constant-dt "
+                       "plateau (ramp keeps the full count)")
+            f.write("Solver newton_plateau: "
+                    f"{MCMC_fields['newton_plateau']}\n")
         comment(f, "Initial condition mode: density | fluence")
         f.write(f"Init mode: {MCMC_fields['ini_mode']}\n")
         if "likel2move_ratio" in MCMC_fields and "model_uncertainty" in MCMC_fields:

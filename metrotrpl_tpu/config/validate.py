@@ -252,7 +252,7 @@ def validate_MCMC_fields(
                 raise ValueError(f"{tolkey} must be a positive value"
                                  + (" (or 0 for no step limit)"
                                     if tolkey == "hmax" else ""))
-    for ckey in ("refactor_every", "ramp_block"):
+    for ckey in ("refactor_every", "ramp_block", "newton_plateau"):
         if ckey in MCMC_fields:
             v = MCMC_fields[ckey]
             if not (isinstance(v, (int, np.integer)) and v >= 1):

@@ -135,7 +135,8 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
                           irf_tables=None, hmax=None, scheme="sdirk3",
                           newton_iters=2, refine=1, escalate=True,
                           align_outputs=True, refactor_every=1,
-                          h0=1e-3, growth=1.25, ramp_block=1):
+                          h0=1e-3, growth=1.25, ramp_block=1,
+                          newton_plateau=None):
     """Assemble the static likelihood plan from parsed config + data.
 
     sim_info : grid dict (lengths, nx, meas_types, num_meas)
@@ -237,22 +238,36 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
         for nx_val in sorted(set(nx_list)):
             idx = np.array([m for m in range(n_meas)
                             if nx_list[m] == nx_val])
-            def _mk(r):
+            def _mk(r, chord=True, hm_x=None):
                 return make_forward_plan(
                     [sim_info["lengths"][m] for m in idx],
                     [nx_val] * len(idx),
                     [meas_types[m] for m in idx],
                     [times[m] for m in idx],
-                    hmax=hm, model=MCMC_fields["model"], scheme=scheme,
+                    hmax=(hm if hm_x is None else hm_x),
+                    model=MCMC_fields["model"], scheme=scheme,
                     newton_iters=newton_iters, refine=r,
                     align_outputs=align_outputs,
-                    refactor_every=refactor_every, h0=h0, growth=growth,
-                    ramp_block=ramp_block)
-            # escalation plan: a refine*2 grid retried only when a row of
-            # the base solve goes non-finite (the reference's
-            # converge_simulation contract, trial_move_evaluation.py:168-210)
-            fwd.append((idx, _mk(refine), _mk(refine * 2) if escalate
-                        else None))
+                    refactor_every=(refactor_every if chord else 1),
+                    h0=h0, growth=growth,
+                    ramp_block=(ramp_block if chord else 1),
+                    newton_plateau=(newton_plateau if chord else None))
+            # escalation plan: retried only for rows whose base solve
+            # fails (the reference's converge_simulation contract,
+            # trial_move_evaluation.py:168-210). The retry drops the
+            # WHOLE fast-mode envelope, not just the chord: measured on
+            # the full-preset posterior typical set, the failing states
+            # (moderate mu_n x high mu_p) collapse at hmax=48 under
+            # EVERY Newton/refactor/refine variant — per-step factors,
+            # full Newton, and a 2x-refined grid all stay at the
+            # underflow clamp — while hmax=4 reproduces the f64 oracle
+            # ll to 4 digits at 15/16 of them (docs/LL_AGREEMENT_r05.md).
+            # So the escalated plan caps hmax at the validated default
+            # (4 ns) AND refines 2x AND runs chord-free. It only ever
+            # runs for failed rows, so its per-step cost is irrelevant.
+            fwd.append((idx, _mk(refine),
+                        _mk(refine * 2, chord=False, hm_x=min(hm, 4.0))
+                        if escalate else None))
         fwd = tuple(fwd)
 
     if kind in ("pde", "nn"):
@@ -558,10 +573,27 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
                            else tile_g(jnp.asarray(fp_x.out_w, dtype))),
                     refactor_every=fp_x.refactor_every,
                     n_ramp=fp_x.n_ramp,
-                    ramp_block=fp_x.ramp_block)       # (K*Mg, nt_g)
+                    ramp_block=fp_x.ramp_block,
+                    newton_plateau=fp_x.newton_plateau)  # (K*Mg, nt_g)
 
             sol_g = run_solve(fp)
-            bad = ~jnp.all(jnp.isfinite(sol_g), axis=-1)      # (K*Mg,)
+
+            def failed(sol):
+                # a failed solve is non-finite OR pinned at the solver's
+                # underflow clamp (solve_forward_batch holds everything
+                # past the first sub-tiny dip at min_y=tiny): no physical
+                # TRPL/TRTS signal spans the ~38 decades down to f32 tiny
+                # within a measured window, so a clamp touch means the
+                # integration collapsed (observed at chord h48/F4 for
+                # mu ~ 30-70 off-truth states: the stale-factor Newton
+                # diverges DOWNWARD, leaving a finite but astronomically
+                # wrong ll that the non-finite test alone never catches —
+                # docs/TPU_NOTES.md round-7)
+                floor = 4 * np.finfo(np.dtype(sol.dtype)).tiny
+                return (~jnp.all(jnp.isfinite(sol), axis=-1)
+                        | jnp.any(sol <= floor, axis=-1))
+
+            bad = failed(sol_g)                               # (K*Mg,)
             if fp_hi is not None and escalate == "inline":
                 # solver-failure escalation (reference converge_simulation,
                 # trial_move_evaluation.py:168-210): rows whose base solve
@@ -575,7 +607,14 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
                     lambda _: sol_g,
                     None)
                 sol_g = jnp.where(bad[:, None], sol_hi, sol_g)
-                bad = ~jnp.all(jnp.isfinite(sol_g), axis=-1)  # post-repair
+                bad = failed(sol_g)                           # post-repair
+            # concede -inf for rows that remain failed (reference
+            # trial_move_evaluation.py:70-72,163-166): without this, a
+            # clamp-collapsed row keeps its finite-but-astronomical ll
+            # (~-7e7), which behaves like -inf under MH acceptance but
+            # poisons any consumer that reads the ll itself (resume
+            # carry, ll-agreement artifacts, logs)
+            sol_g = jnp.where(bad[:, None], jnp.nan, sol_g)
             n_solver_fail = n_solver_fail + jnp.sum(bad, dtype=jnp.int32)
             sol_g = sol_g.reshape(K, Mg, -1)
             if sol_g.shape[-1] < nt_exp:

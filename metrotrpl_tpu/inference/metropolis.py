@@ -812,6 +812,9 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
                            or MCMC_fields.get("refactor_every", 1)),
         ramp_block=int(kwargs.get("ramp_block")
                        or MCMC_fields.get("ramp_block", 1)),
+        newton_plateau=(lambda v: None if v is None else int(v))(
+            kwargs.get("newton_plateau",
+                       MCMC_fields.get("newton_plateau"))),
         # the refined-grid plan is needed whenever any escalation mode is
         # on (the deferred re-run kernel uses it)
         refine=refine, escalate=bool(escalate))

@@ -104,13 +104,16 @@ class ForwardPlan(NamedTuple):
     ramp_block: int = 1     # Newton-matrix refactor period INSIDE the ramp
                             # (dt is constant within each ramp block by
                             # plan_time_grid construction; 1 = every step)
+    newton_plateau: int = None  # Newton iterations per stage past n_ramp
+                                # (None = newton_iters; the slowly-varying
+                                # plateau usually converges in fewer)
 
 
 def make_forward_plan(lengths, nxes, meas_types, times_list, hmax=4.0,
                       model="std", scheme="sdirk3", newton_iters=2,
                       h0=1e-3, growth=1.25, refine=1, align_outputs=True,
                       refactor_every=1, tail_growth=1.0, tail_block=1,
-                      ramp_block=1):
+                      ramp_block=1, newton_plateau=None):
     """Build a ForwardPlan for a measurement set.
 
     times_list : list of per-measurement output-time arrays (must start at 0).
@@ -137,8 +140,10 @@ def make_forward_plan(lengths, nxes, meas_types, times_list, hmax=4.0,
     n_steps = max(len(g.dt) for g in grids)
     nt = max(len(g.out_idx) for g in grids)
 
+    if newton_plateau is not None and int(newton_plateau) == int(newton_iters):
+        newton_plateau = None  # explicit same-count = no phase split needed
     n_ramp = None
-    if refactor_every > 1 or ramp_block > 1:
+    if refactor_every > 1 or ramp_block > 1 or newton_plateau is not None:
         # chord-mode phase boundary: the first step index from which every
         # row's dt is constant (padding repeats the last dt, preserving it)
         dtm = np.stack([np.concatenate(
@@ -164,6 +169,7 @@ def make_forward_plan(lengths, nxes, meas_types, times_list, hmax=4.0,
                  if tail_growth and tail_growth > 1.0 else ""))
             n_ramp = None
             ramp_block = 1
+            newton_plateau = None
         else:
             if ramp_block > 1:
                 # phase-1 chord blocks need dt constant within every
@@ -213,6 +219,8 @@ def make_forward_plan(lengths, nxes, meas_types, times_list, hmax=4.0,
         n_ramp=n_ramp,
         refactor_every=int(refactor_every),
         ramp_block=int(ramp_block),
+        newton_plateau=(None if newton_plateau is None
+                        else int(newton_plateau)),
     )
 
 
@@ -238,7 +246,7 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
                         model="std", scheme="sdirk3", newton_iters=2,
                         min_y=None, backend="xla", block_b=None, out_w=None,
                         refactor_every=1, n_ramp=None, layout="auto",
-                        batch_mult=1, ramp_block=1):
+                        batch_mult=1, ramp_block=1, newton_plateau=None):
     """Run a batch of forward simulations and return linear observables in
     measurement units (TRPL [cm^-2 s^-1] / TRTS, selected per row).
 
@@ -323,7 +331,7 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
             scheme_name=scheme, newton_iters=newton_iters, block_b=block_b,
             interpret=(backend == "pallas_interpret"),
             refactor_every=refactor_every, n_ramp=n_ramp,
-            ramp_block=ramp_block)
+            ramp_block=ramp_block, newton_plateau=newton_plateau)
     else:
         # State representation (solver/sdirk.py dispatch note): PLANES on
         # TPU (fully tiled (B, nx) ops — 2.67x less VPU/VMEM than stacked),
@@ -352,7 +360,8 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
         pl_t, trts_t = integrate_observables(
             rhs, observe, y0i, dts, scheme_name=scheme,
             newton_iters=newton_iters, refactor_every=refactor_every,
-            n_ramp=n_ramp, jac=jac, ramp_block=ramp_block)
+            n_ramp=n_ramp, jac=jac, ramp_block=ramp_block,
+            newton_plateau=newton_plateau)
 
     if out_w is None:
         # (n_steps+1, B) -> (B, nt) gather at output knots
@@ -384,7 +393,8 @@ def solve_single(init_dN, raw_params, thickness, nx, t_out, meas="TRPL",
                  model="std", hmax=4.0, scheme="sdirk3", newton_iters=2,
                  dtype=jnp.float64, refine=1, h0=1e-3, growth=1.25,
                  align_outputs=True, refactor_every=1, backend="xla",
-                 tail_growth=1.0, tail_block=1, ramp_block=1):
+                 tail_growth=1.0, tail_block=1, ramp_block=1,
+                 newton_plateau=None):
     """Convenience single-simulation solve (tests, GUI quicksim).
 
     Mirrors the oracle's :func:`solve_reference` interface.
@@ -395,7 +405,7 @@ def solve_single(init_dN, raw_params, thickness, nx, t_out, meas="TRPL",
         h0=h0, growth=growth, align_outputs=align_outputs,
         refactor_every=refactor_every,
         tail_growth=tail_growth, tail_block=tail_block,
-        ramp_block=ramp_block)
+        ramp_block=ramp_block, newton_plateau=newton_plateau)
     params_b = {k: jnp.asarray([v], dtype) for k, v in raw_params.items()}
     sol = solve_forward_batch(
         jnp.asarray(init_dN, dtype)[None],
@@ -408,5 +418,5 @@ def solve_single(init_dN, raw_params, thickness, nx, t_out, meas="TRPL",
         backend=backend,
         out_w=(None if plan.out_w is None else jnp.asarray(plan.out_w, dtype)),
         refactor_every=plan.refactor_every, n_ramp=plan.n_ramp,
-        ramp_block=plan.ramp_block)
+        ramp_block=plan.ramp_block, newton_plateau=plan.newton_plateau)
     return np.asarray(sol[0])

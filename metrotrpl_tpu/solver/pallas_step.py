@@ -46,7 +46,7 @@ N_PARAM_FIELDS = len(ScaledParams._fields)
 
 def _solve_kernel(dt_ref, y0_ref, par_ref, dx_ref, pl_ref, tr_ref, *,
                   model, scheme_name, newton_iters, n_steps, n_ramp,
-                  refactor_every, ramp_block=1):
+                  refactor_every, ramp_block=1, newton_plateau=None):
     """Kernel: integrate one batch tile through all steps.
 
     dt_ref    (Bt, n_steps)    per-step sizes
@@ -108,17 +108,18 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dx_ref, pl_ref, tr_ref, *,
 
     n_phase1 = n_steps if n_ramp is None else n_ramp
 
-    def make_block_body(k_base, F):
+    def make_block_body(k_base, F, ni):
         # One factorization per F-step block; dt is constant within each
         # block by the plan contract (F=1 degenerates to per-step
-        # refactorization — the plain non-chord stepper).
+        # refactorization — the plain non-chord stepper). ni = Newton
+        # iterations per stage for this phase (plateau may use fewer).
         def body(b, carry):
             y, pl_acc, tr_acc = carry
             k0 = k_base + b * F
             h = dt_at(k0)
             factors = sdirk_factors(rhs, y, h, scheme, jac=jac)
             for i in range(F):
-                y = sdirk_stages(rhs, y, h, scheme, factors, newton_iters)
+                y = sdirk_stages(rhs, y, h, scheme, factors, ni)
                 d_pl, d_tr = observed(y, k0 + i + 1)
                 pl_acc = pl_acc + d_pl
                 tr_acc = tr_acc + d_tr
@@ -127,13 +128,14 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dx_ref, pl_ref, tr_ref, *,
 
     R = int(ramp_block) if n_ramp is not None else 1
     y, pl_acc, tr_acc = jax.lax.fori_loop(
-        0, n_phase1 // R, make_block_body(0, R), (y, pl0, tr0),
+        0, n_phase1 // R, make_block_body(0, R, newton_iters), (y, pl0, tr0),
         unroll=False)
 
     if n_ramp is not None and n_ramp < n_steps:
         F = int(refactor_every)
+        ni_p = newton_iters if newton_plateau is None else int(newton_plateau)
         y, pl_acc, tr_acc = jax.lax.fori_loop(
-            0, (n_steps - n_ramp) // F, make_block_body(n_ramp, F),
+            0, (n_steps - n_ramp) // F, make_block_body(n_ramp, F, ni_p),
             (y, pl_acc, tr_acc), unroll=False)
 
     pl_ref[:] = pl_acc
@@ -144,7 +146,7 @@ def integrate_observables_pallas(params, y0, dts, dx, model="std",
                                  scheme_name="sdirk3", newton_iters=2,
                                  block_b=16, interpret=False,
                                  refactor_every=1, n_ramp=None,
-                                 ramp_block=1):
+                                 ramp_block=1, newton_plateau=None):
     """Fused-kernel counterpart of solver.sdirk.integrate_observables.
 
     params : ScaledParams with (B, 1)-shaped fields
@@ -158,7 +160,8 @@ def integrate_observables_pallas(params, y0, dts, dx, model="std",
     dtype = y0.dtype
     if B % block_b != 0:
         raise ValueError(f"batch {B} not divisible by block_b {block_b}")
-    if refactor_every <= 1 and ramp_block <= 1:
+    if (refactor_every <= 1 and ramp_block <= 1
+            and newton_plateau in (None, newton_iters)):
         n_ramp = None
     if n_ramp is not None:
         if ramp_block > 1 and n_ramp % ramp_block != 0:
@@ -177,7 +180,8 @@ def integrate_observables_pallas(params, y0, dts, dx, model="std",
     kernel = functools.partial(
         _solve_kernel, model=model, scheme_name=scheme_name,
         newton_iters=newton_iters, n_steps=n_steps, n_ramp=n_ramp,
-        refactor_every=refactor_every, ramp_block=ramp_block)
+        refactor_every=refactor_every, ramp_block=ramp_block,
+        newton_plateau=newton_plateau)
 
     grid = (B // block_b,)
     pl_t, tr_t = pl.pallas_call(

@@ -166,7 +166,7 @@ def sdirk_step(rhs, y, h, scheme, newton_iters=2, jac=None):
 
 def integrate_observables(rhs, observe, y0, dts, scheme_name="sdirk3",
                           newton_iters=2, refactor_every=1, n_ramp=None,
-                          jac=None, ramp_block=1):
+                          jac=None, ramp_block=1, newton_plateau=None):
     """Scan the stepper over a step-size sequence, emitting observables.
 
     y0 : plane-tuple state (C arrays of (..., n)).
@@ -185,9 +185,17 @@ def integrate_observables(rhs, observe, y0, dts, scheme_name="sdirk3",
     make_forward_plan). The Jacobian of the decaying solution varies
     slowly, so modified Newton keeps its contraction; validated against
     per-step refactorization in tests.
+
+    newton_plateau : Newton iterations per stage for the constant-dt
+    plateau ([n_ramp, n_steps)); None = same as `newton_iters`. The
+    plateau solution varies slowly, so modified Newton contracts fast
+    there and fewer corrections suffice — the ramp keeps the full count.
+    Requires n_ramp (the phase boundary) when it differs.
     """
     scheme = SDIRK_SCHEMES[scheme_name]
     n_steps = dts.shape[0]
+    ni_plateau = newton_iters if newton_plateau is None \
+        else int(newton_plateau)
 
     def body(y, dt_k):
         y_new = sdirk_step(rhs, y, dt_k, scheme, newton_iters, jac=jac)
@@ -195,17 +203,22 @@ def integrate_observables(rhs, observe, y0, dts, scheme_name="sdirk3",
 
     first = jax.tree.map(lambda x: x[None], observe(y0))
 
-    if n_ramp is None or (refactor_every <= 1 and ramp_block <= 1):
+    if n_ramp is None or (refactor_every <= 1 and ramp_block <= 1
+                          and ni_plateau == newton_iters):
+        if ni_plateau != newton_iters:
+            raise ValueError(
+                "newton_plateau requires a chord-mode plan (n_ramp phase "
+                "boundary); build the plan with newton_plateau set")
         _, obs = jax.lax.scan(body, y0, dts)
         return jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=0), first, obs)
 
-    def blocked_scan(y, seq, F, phase):
+    def blocked_scan(y, seq, F, phase, ni):
         """Chord-scan `seq` in blocks of F steps sharing one factorization
         (dt constant within each block by the plan contract)."""
         if seq.shape[0] == 0:
             return y, None
-        if F <= 1:
+        if F <= 1 and ni == newton_iters:
             return jax.lax.scan(body, y, seq)
         if seq.shape[0] % F != 0:
             raise ValueError(
@@ -218,8 +231,7 @@ def integrate_observables(rhs, observe, y0, dts, scheme_name="sdirk3",
             factors = sdirk_factors(rhs, y, dt_blk[0], scheme, jac=jac)
             outs = []
             for i in range(F):
-                y = sdirk_stages(rhs, y, dt_blk[i], scheme, factors,
-                                 newton_iters)
+                y = sdirk_stages(rhs, y, dt_blk[i], scheme, factors, ni)
                 outs.append(observe(y))
             obs_blk = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
             return y, obs_blk
@@ -227,9 +239,10 @@ def integrate_observables(rhs, observe, y0, dts, scheme_name="sdirk3",
         y, obs = jax.lax.scan(block_body, y, blocks)
         return y, jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), obs)
 
-    y_mid, obs1 = blocked_scan(y0, dts[:n_ramp], int(ramp_block), "ramp")
+    y_mid, obs1 = blocked_scan(y0, dts[:n_ramp], int(ramp_block), "ramp",
+                               newton_iters)
     _, obs2 = blocked_scan(y_mid, dts[n_ramp:], int(refactor_every),
-                           "plateau")
+                           "plateau", ni_plateau)
     parts = [p for p in (first, obs1, obs2) if p is not None]
     return jax.tree.map(
         lambda *xs: jnp.concatenate(xs, axis=0), *parts)

@@ -259,9 +259,14 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0, refactor=1):
     temps = np.ones(n_chains)
 
     window = min(500, n_iters)
+    # inline escalation = production semantics: chord-mode solves that
+    # collapse at off-truth states (observed for mu ~ 30-70 at nx=32)
+    # re-run on the refined grid inside the kernel instead of being
+    # silently rejected — without it the tpu sampler cannot traverse
+    # ~1/3 of the full preset's posterior (docs/LL_AGREEMENT_r05.md)
     kern = build_mh_kernel(plan, mp, temps, base_move, temper_freq=10,
                            do_tempering=False, window=window,
-                           dtype=jnp.float32)
+                           dtype=jnp.float32, escalate="inline")
     states = jnp.asarray(np.tile(
         [param_info["init_guess"][n] for n in NAMES], (n_chains, 1)),
         jnp.float32)
@@ -284,6 +289,37 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0, refactor=1):
     acc = np.concatenate(hist_accept, axis=0)[:n_iters]
     samples = {p: h[:, :, NAMES.index(p)] for p in ACTIVE}
     return samples, float(acc.mean())
+
+
+#: bump to invalidate cached tpu chains when the kernel's sampling
+#: behavior changes (rev 2: escalation ladder drops hmax to the
+#: validated default + refine x2 chord-free, and still-failed rows
+#: concede -inf — inference/likelihood.py build_likelihood_plan)
+TPU_SAMPLER_REV = 2
+
+
+def _cached_tpu_mh(t, vals, n_iters, hmax, refactor):
+    """Cache the tpu half like the oracle half: the two are independent,
+    so the tpu chain can run (on the idle accelerator) while the oracle
+    extends (on the host core), and the final z-test assembles both from
+    cache."""
+    import hashlib
+
+    consts = repr((NX, NT, T_END, LENGTHS, sorted(TRUE.items()), ACTIVE,
+                   sorted(START.items()), sorted(PRIOR.items()),
+                   WIDTH, SIGMA, UNC, FLU, hmax, refactor,
+                   TPU_SAMPLER_REV))
+    tag = hashlib.sha1(consts.encode()).hexdigest()[:10]
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f".tpu_mh_{n_iters}_{SEED}_{tag}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        print(f"  (tpu MH from cache {cache})", flush=True)
+        return {k: z[k] for k in ACTIVE}, float(z["acc"])
+    samples, acc = run_tpu_mh(t, vals, n_iters, hmax=hmax,
+                              refactor=refactor)
+    np.savez(cache, acc=acc, **samples)
+    return samples, acc
 
 
 def _cached_oracle_mh(t, vals, n_iters):
@@ -359,6 +395,138 @@ def _cached_oracle_ridge(t, vals, n_iters, warm_n):
     return samples, acc
 
 
+def run_ll_check(t, vals, n_states, hmax, refactor, warm_n, ridge_n,
+                 outname):
+    """Dense log-likelihood agreement on posterior-typical states.
+
+    The mean-level z-test is bounded by the ORACLE's mixing on degenerate
+    ridges (Sf/Sb ESS ~ 10 even under the ridge proposal). This check has
+    no mixing error at all: draw states from the cached oracle chains
+    (warmup + ridge, covering everywhere the oracle posterior visits,
+    including regions the tpu chains haven't), evaluate BOTH
+    log-likelihoods at each state, and bound |dll|. If sup |dll| <= eps
+    over the typical set, the two samplers' stationary densities agree
+    within e^(2 eps) pointwise there — a strictly stronger statement than
+    mean agreement, independent of either chain's autocorrelation.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from metrotrpl_tpu.inference.likelihood import build_likelihood_plan
+    from metrotrpl_tpu.inference.metropolis import build_mh_kernel
+    from metrotrpl_tpu.inference.moves import build_move_plan
+
+    # posterior-typical states: thin both cached oracle chains post-burn
+    warm, _ = _cached_oracle_mh(t, vals, warm_n)
+    ridge, _ = _cached_oracle_ridge(t, vals, ridge_n, warm_n)
+    halves = []
+    for samples, n in ((warm, warm_n), (ridge, ridge_n)):
+        burn = n // 3
+        idx = np.linspace(burn, n - 1, n_states // 2).astype(int)
+        halves.append({k: samples[k][idx] for k in ACTIVE})
+    chosen = {k: np.concatenate([h[k] for h in halves]) for k in ACTIVE}
+    S = len(chosen[ACTIVE[0]])
+
+    # oracle ll (LSODA f64, serial)
+    ll_o = np.empty(S)
+    clock = time.perf_counter()
+    for i in range(S):
+        state = dict(TRUE)
+        state.update({k: float(chosen[k][i]) for k in ACTIVE})
+        ll_o[i] = oracle_logll(t, vals, state)
+        if (i + 1) % 32 == 0:
+            print(f"  ll-check oracle {i + 1}/{S} "
+                  f"({(time.perf_counter() - clock) / (i + 1):.2f} s/state)",
+                  flush=True)
+
+    # tpu ll: the SAME kernel evaluation the production sampler uses
+    # (fast solver mode, f32), chunked as untempered "chains"
+    param_info = {
+        "names": NAMES,
+        "unit_conversions": UC,
+        "do_log": {n: 1 for n in NAMES},
+        "active": {n: int(n in ACTIVE) for n in NAMES},
+        "init_guess": {**TRUE, **START},
+        "prior_dist": {n: PRIOR.get(n, (1e-32, 1e32)) for n in NAMES},
+        "trial_move": {n: WIDTH for n in NAMES},
+    }
+    M = len(LENGTHS)
+    sim_info = {"lengths": LENGTHS, "nx": [NX] * M,
+                "meas_types": ["TRPL"] * M, "num_meas": M}
+    mcmc = {"ini_mode": "fluence", "model": "std", "log_y": 1,
+            "model_uncertainty": SIGMA, "hard_bounds": 1}
+    iniPar = np.array([[f, a, 1] for f, a in FLU])
+    e_data = ([t] * M, vals, [np.full(NT, UNC)] * M)
+    plan = build_likelihood_plan(sim_info, param_info, mcmc, e_data, iniPar,
+                                 hmax=hmax, align_outputs=False,
+                                 refactor_every=refactor)
+    mp = build_move_plan(param_info, mcmc)
+    base_move = np.array([WIDTH if n in ACTIVE else 0.0 for n in NAMES])
+
+    C = 64  # chunk: one batched (C x M) solve per init_ll call
+    # inline escalation = production semantics (see run_tpu_mh)
+    kern = build_mh_kernel(plan, mp, np.ones(C), base_move, temper_freq=10,
+                           do_tempering=False, window=1,
+                           dtype=jnp.float32, escalate="inline")
+    ll_t = np.empty(S)
+    full = np.array([TRUE[n] for n in NAMES])
+    for c0 in range(0, S, C):
+        c1 = min(c0 + C, S)
+        block = np.tile(full, (C, 1))
+        for j, k in enumerate(ACTIVE):
+            block[:c1 - c0, NAMES.index(k)] = chosen[k][c0:c1]
+        mat = np.asarray(kern.init_ll(jnp.asarray(block, jnp.float32)))
+        ll_t[c0:c1] = np.diag(mat)[:c1 - c0]
+
+    d = ll_t - ll_o
+    fin = np.isfinite(d)
+    ad = np.abs(d[fin])
+    q = np.percentile(ad, [50, 90, 99, 100])
+    lines = [
+        f"# Log-likelihood agreement — {os.path.splitext(outname)[0]}",
+        "",
+        f"Pointwise |ll_tpu - ll_oracle| at {S} posterior-typical states",
+        f"(thinned from the cached {warm_n}-iter uniform and {ridge_n}-iter"
+        " ridge oracle chains",
+        "post-burn — i.e. everywhere the ORACLE posterior walks, including"
+        " ridge corners",
+        "the tpu chains may not have visited). tpu side = the production"
+        " compiled kernel",
+        f"(fast mode, hmax={hmax:g}, chord refactor_every={refactor},"
+        " float32); oracle side =",
+        "float64 LSODA reference math. Unlike the mean-level z-test this"
+        " has NO Monte-Carlo",
+        "mixing error: it bounds the stationary-density ratio pointwise"
+        " on the typical set",
+        "(sup |dll| = eps implies the posterior densities agree within"
+        " e^(2 eps) there).",
+        "",
+        "| |dll| median | p90 | p99 | max | ll scale (median |ll|) |",
+        "|---|---|---|---|---|",
+        f"| {q[0]:.3f} | {q[1]:.3f} | {q[2]:.3f} | {q[3]:.3f} | "
+        f"{np.median(np.abs(ll_o[fin])):.0f} |",
+        "",
+        f"{int(fin.sum())}/{S} states finite in both"
+        f" ({int((~fin).sum())} -inf/diverged mismatches).",
+        f"Tail: {int((ad > 1).sum())}/{S} states exceed |dll| 1, "
+        f"{int((ad > 20).sum())}/{S} exceed 20 — partial h48 collapses "
+        "above the underflow-clamp",
+        "failure predicate (docs/TPU_NOTES.md round-7); every one "
+        "SUPPRESSES density (ll_tpu < ll_oracle:"
+        f" {int((d[fin] < -1).sum())}/{int((ad > 1).sum())} of the >1 "
+        "tail), so they thin the tpu walk there rather than attract it.",
+        "",
+        "Reproduce: `python scripts/posterior_compare.py "
+        f"{ridge_n} 0 {hmax:g} {outname} --preset {PRESET} "
+        f"--refactor {refactor} --ridge {warm_n} --ll-check {n_states}`.",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", outname)
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}; |dll| median {q[0]:.3f} max {q[3]:.3f}")
+
+
 def ess_log10(x):
     """Effective sample size of a (possibly multi-chain) sample set in
     log10 space: per-chain integrated-autocorrelation-time ESS (initial
@@ -385,7 +553,9 @@ def ess_log10(x):
 
 def main():
     oracle_only = "--oracle-only" in sys.argv[1:]
-    argv = [a for a in sys.argv[1:] if a != "--oracle-only"]
+    tpu_only = "--tpu-only" in sys.argv[1:]
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--oracle-only", "--tpu-only")]
     if "--preset" in argv:
         i = argv.index("--preset")
         apply_preset(argv[i + 1])
@@ -405,8 +575,22 @@ def main():
         i = argv.index("--ridge")
         ridge_warm = int(argv[i + 1])
         del argv[i:i + 2]
+    ll_check = 0
+    if "--ll-check" in argv:
+        # --ll-check N: pointwise log-likelihood agreement at N
+        # posterior-typical states from the cached oracle chains
+        # (run_ll_check) instead of the mean-level z-test
+        i = argv.index("--ll-check")
+        ll_check = int(argv[i + 1])
+        del argv[i:i + 2]
     outname = argv[3] if len(argv) > 3 else "POSTERIOR_r02.md"
     t, vals = make_dataset()
+
+    if ll_check:
+        run_ll_check(t, vals, ll_check, hmax, refactor,
+                     warm_n=(ridge_warm or 16000), ridge_n=n_oracle,
+                     outname=outname)
+        return
 
     def oracle_half():
         if ridge_warm:
@@ -417,9 +601,12 @@ def main():
         # warm the oracle cache without touching the accelerator
         oracle_half()
         return
+    if tpu_only:
+        # warm the tpu cache without touching the host-core oracle
+        _cached_tpu_mh(t, vals, n_tpu, hmax, refactor)
+        return
     print("running tpu MH...", flush=True)
-    tpu_samples, tpu_acc = run_tpu_mh(t, vals, n_tpu, hmax=hmax,
-                                      refactor=refactor)
+    tpu_samples, tpu_acc = _cached_tpu_mh(t, vals, n_tpu, hmax, refactor)
     print("running oracle MH...", flush=True)
     oracle_samples, oracle_acc = oracle_half()
 

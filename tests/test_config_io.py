@@ -324,3 +324,24 @@ def test_solver_refactor_every_roundtrip_and_validation(tmp_path):
     bad["refactor_every"] = 0
     with pytest.raises(ValueError, match="refactor_every"):
         validate_MCMC_fields(bad, 3)
+
+
+def test_solver_newton_plateau_roundtrip_and_validation(tmp_path):
+    """`Solver newton_plateau` (plateau-phase Newton count) writes, reads
+    back as int, and rejects non-positive values."""
+    simPar, param_info, meas_flags, MCMC_fields = _example_config()
+    MCMC_fields["solver"] = ("sdirk",)
+    MCMC_fields["hmax"] = 48.0
+    MCMC_fields["refactor_every"] = 4
+    MCMC_fields["newton_plateau"] = 1
+    path = str(tmp_path / "config_np.txt")
+    generate_config_script_file(path, simPar, param_info, meas_flags,
+                                MCMC_fields)
+    _, _, _, mc2 = read_config_script_file(path)
+    assert mc2["newton_plateau"] == 1
+
+    from metrotrpl_tpu.config.validate import validate_MCMC_fields
+    bad = dict(mc2)
+    bad["newton_plateau"] = 0
+    with pytest.raises(ValueError, match="newton_plateau"):
+        validate_MCMC_fields(bad, 3)

@@ -365,6 +365,62 @@ def test_ramp_block_chord_matches_per_step():
     assert err.max() < 1e-5, f"max log10 err {err.max():.2e}"
 
 
+def test_newton_plateau_plan_structure():
+    """newton_plateau stores in the plan, forces the chord phase boundary
+    even at refactor_every=1, and normalizes an explicit same-count to
+    None (no phase split compiled)."""
+    from metrotrpl_tpu.solver.forward import make_forward_plan
+
+    t_out = np.linspace(0, 2000, 201)
+    p = make_forward_plan([311.0], [64], ["TRPL"], [t_out], hmax=48.0,
+                          align_outputs=False, newton_plateau=1)
+    assert p.newton_plateau == 1
+    assert p.n_ramp is not None and p.n_ramp < p.n_steps
+
+    same = make_forward_plan([311.0], [64], ["TRPL"], [t_out], hmax=48.0,
+                             align_outputs=False, newton_iters=2,
+                             newton_plateau=2)
+    assert same.newton_plateau is None and same.n_ramp is None
+
+
+def test_newton_plateau_matches_full_newton():
+    """One Newton correction per stage on the FRESH-factor plateau
+    (refactor_every=1, newton_plateau=1) must stay within the validated
+    h48 chord budget. With STALE factors the single correction is
+    under-converged and the error accumulates in the tail — measured
+    |dlog10 PL| on this workload: F=1 3.1e-4, F=2 8.5e-4, F=4 1.9e-3
+    (scripts/probe_r7_newton.py header) — so pairing newton_plateau=1
+    with a chord period is an accuracy trade the user opts into."""
+    thickness, nx = 311.0, 64
+    params = staub_params()
+    init_dN = _ic(thickness, nx)
+    t_out = np.linspace(0, 2000, 201)
+
+    kw = dict(hmax=48.0, align_outputs=False)
+    s2 = solve_single(init_dN, params, thickness, nx, t_out,
+                      refactor_every=4, **kw)
+    s1 = solve_single(init_dN, params, thickness, nx, t_out,
+                      refactor_every=1, newton_plateau=1, **kw)
+    err = np.abs(np.log10(s1) - np.log10(s2))
+    assert err.max() < 5e-4, f"max log10 err {err.max():.2e}"
+
+
+def test_newton_plateau_requires_chord_plan():
+    """integrate_observables refuses a plateau Newton count without the
+    chord phase boundary instead of silently ignoring it."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from metrotrpl_tpu.solver.sdirk import integrate_observables
+
+    y0 = (jnp.ones((1, 8)),)
+    with _pytest.raises(ValueError, match="newton_plateau"):
+        integrate_observables(
+            lambda y: y, lambda y: (y[0].sum(-1), y[0].sum(-1)),
+            y0, jnp.full((4, 1), 0.1), newton_iters=2, newton_plateau=1,
+            n_ramp=None)
+
+
 def test_ramp_block_misaligned_grid_degrades_loudly(caplog):
     """An output-aligned grid splits ramp blocks (output knots interleave
     the ramp), so ramp_block > 1 must fall back to per-step ramp
