@@ -22,6 +22,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from metrotrpl_tpu.constants import NEGATIVE_FRAC_TOL
+
+#: Newton-convergence failure threshold for the dynamic solver-failure
+#: predicate: a solve whose max |last Newton update| (in the O(1)-rescaled
+#: state, over the row's real output window) exceeds this is treated as
+#: diverged even when its output stays finite and above the underflow
+#: clamp. Calibration (scripts/probe_r8_resid.py on 64 collapse-region
+#: grid + 192 wide +/-0.3-dex ball states, docs/TPU_NOTES.md round-8):
+#: at 1e-2 every broken row (|dll vs gold| > 20) is flagged — 0 false
+#: negatives, broken resid min 2.0e-2 — while posterior-typical solves
+#: sit at <= ~1e-5. The bands do overlap for far-off-truth states
+#: (healthy wide-ball resid reaches 0.47), so ~half of those escalate
+#: spuriously; that errs in the SAFE direction — the refined re-solve
+#: repairs them and only rows that still fail it concede -inf.
+NEWTON_DIV_TOL = 1e-2
 from metrotrpl_tpu.ops.convolve import convolve_moments
 from metrotrpl_tpu.ops.interp import interp1d
 from metrotrpl_tpu.physics.models import beer_lambert
@@ -496,6 +510,9 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
         'per_meas' : (K, M, Kt) per-measurement contributions
         'n_solver_fail' : () int32, rows whose forward solve diverged
             (post-repair count under "inline")
+        'resid' : (K, M) Newton-convergence residual of each forward solve
+            (post-repair under "inline"; 0 for pa/nn — diagnostic only,
+            the failure decision already folds it in via NEWTON_DIV_TOL)
     """
     M = plan.n_meas
     units = jnp.asarray(plan.units, dtype)
@@ -508,7 +525,8 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
             u = u_potential(states[:, 0])                     # (K,)
             ll = -u[:, None] / temps[None, :]                 # (K, Kt)
             return {"logll_T": ll, "per_meas": ll[:, None, :],
-                    "n_solver_fail": jnp.zeros((), jnp.int32)}
+                    "n_solver_fail": jnp.zeros((), jnp.int32),
+                    "resid": jnp.zeros((states.shape[0], 1), ll.dtype)}
         return eval_pa
 
     if plan.kind == "nn":
@@ -533,6 +551,7 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
 
         # ---- one forward solve per nx-group; scatter into (K, M, nt) ----
         sol_full = jnp.zeros((K, M, nt_exp), dtype)
+        resid_full = jnp.zeros((K, M), dtype)
         n_solver_fail = jnp.zeros((), jnp.int32)
         for g_idx, fp, fp_hi in groups:
             Mg = len(g_idx)
@@ -574,12 +593,13 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
                     refactor_every=fp_x.refactor_every,
                     n_ramp=fp_x.n_ramp,
                     ramp_block=fp_x.ramp_block,
-                    newton_plateau=fp_x.newton_plateau)  # (K*Mg, nt_g)
+                    newton_plateau=fp_x.newton_plateau,
+                    with_diag=True)  # ((K*Mg, nt_g), (K*Mg,))
 
-            sol_g = run_solve(fp)
+            sol_g, resid_g = run_solve(fp)
 
-            def failed(sol):
-                # a failed solve is non-finite OR pinned at the solver's
+            def failed(sol, resid):
+                # a failed solve is non-finite, OR pinned at the solver's
                 # underflow clamp (solve_forward_batch holds everything
                 # past the first sub-tiny dip at min_y=tiny): no physical
                 # TRPL/TRTS signal spans the ~38 decades down to f32 tiny
@@ -588,12 +608,19 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
                 # mu ~ 30-70 off-truth states: the stale-factor Newton
                 # diverges DOWNWARD, leaving a finite but astronomically
                 # wrong ll that the non-finite test alone never catches —
-                # docs/TPU_NOTES.md round-7)
+                # docs/TPU_NOTES.md round-7), OR — the dynamic predicate —
+                # a Newton iteration that never converged (resid =
+                # max |last Newton update| over the row's real window,
+                # solve_forward_batch with_diag): this catches the PARTIAL
+                # collapses that stay above the clamp yet are decades off
+                # the f64 oracle (round-8). ~(x < tol) instead of x >= tol
+                # so a NaN resid also flags.
                 floor = 4 * np.finfo(np.dtype(sol.dtype)).tiny
                 return (~jnp.all(jnp.isfinite(sol), axis=-1)
-                        | jnp.any(sol <= floor, axis=-1))
+                        | jnp.any(sol <= floor, axis=-1)
+                        | ~(resid < NEWTON_DIV_TOL))
 
-            bad = failed(sol_g)                               # (K*Mg,)
+            bad = failed(sol_g, resid_g)                      # (K*Mg,)
             if fp_hi is not None and escalate == "inline":
                 # solver-failure escalation (reference converge_simulation,
                 # trial_move_evaluation.py:168-210): rows whose base solve
@@ -601,13 +628,14 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
                 # grid before conceding -inf. lax.cond skips the refined
                 # solve entirely when every row is healthy (but costs ~10 ms
                 # of control-flow overhead per call on TPU — see docstring).
-                sol_hi = jax.lax.cond(
+                sol_hi, resid_hi = jax.lax.cond(
                     jnp.any(bad),
                     lambda _: run_solve(fp_hi),
-                    lambda _: sol_g,
+                    lambda _: (sol_g, resid_g),
                     None)
                 sol_g = jnp.where(bad[:, None], sol_hi, sol_g)
-                bad = failed(sol_g)                           # post-repair
+                resid_g = jnp.where(bad, resid_hi, resid_g)
+                bad = failed(sol_g, resid_g)                  # post-repair
             # concede -inf for rows that remain failed (reference
             # trial_move_evaluation.py:70-72,163-166): without this, a
             # clamp-collapsed row keeps its finite-but-astronomical ll
@@ -621,6 +649,8 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
                 sol_g = jnp.pad(
                     sol_g, ((0, 0), (0, 0), (0, nt_exp - sol_g.shape[-1])))
             sol_full = sol_full.at[:, g_idx, :].set(sol_g[..., :nt_exp])
+            resid_full = resid_full.at[:, g_idx].set(
+                resid_g.reshape(K, Mg))
         sol = sol_full.reshape(K * M, nt_exp)
 
         # shared comparison pipeline: IRF convolution, negative tolerance,
@@ -629,7 +659,7 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
 
         per_meas = ll.reshape(K, M, -1)
         return {"logll_T": jnp.sum(per_meas, axis=1), "per_meas": per_meas,
-                "n_solver_fail": n_solver_fail}
+                "n_solver_fail": n_solver_fail, "resid": resid_full}
 
     if eval_chunk is None:
         return eval_logll
@@ -653,7 +683,9 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
                     (Kp,) + out["logll_T"].shape[2:])[:K],
                 "per_meas": out["per_meas"].reshape(
                     (Kp,) + out["per_meas"].shape[2:])[:K],
-                "n_solver_fail": out["n_solver_fail"].sum(dtype=jnp.int32)}
+                "n_solver_fail": out["n_solver_fail"].sum(dtype=jnp.int32),
+                "resid": out["resid"].reshape(
+                    (Kp,) + out["resid"].shape[2:])[:K]}
 
     return eval_chunked
 
@@ -711,6 +743,7 @@ def _make_eval_nn(plan, dtype):
         ll = compare(sol, scale_shift, temps)
         per_meas = ll.reshape(K, M, -1)
         return {"logll_T": jnp.sum(per_meas, axis=1), "per_meas": per_meas,
-                "n_solver_fail": jnp.zeros((), jnp.int32)}
+                "n_solver_fail": jnp.zeros((), jnp.int32),
+                "resid": jnp.zeros((K, M), ll.dtype)}
 
     return eval_nn

@@ -246,7 +246,8 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
                         model="std", scheme="sdirk3", newton_iters=2,
                         min_y=None, backend="xla", block_b=None, out_w=None,
                         refactor_every=1, n_ramp=None, layout="auto",
-                        batch_mult=1, ramp_block=1, newton_plateau=None):
+                        batch_mult=1, ramp_block=1, newton_plateau=None,
+                        with_diag=False):
     """Run a batch of forward simulations and return linear observables in
     measurement units (TRPL [cm^-2 s^-1] / TRTS, selected per row).
 
@@ -281,6 +282,13 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
     batch_mult : effective-batch multiplier for the block_b choice when
     this call is traced per-slice under vmap (e.g. vmap_ensembles traces
     the per-ensemble batch; the device runs E of them fused).
+    with_diag : also return the per-row Newton-convergence residual
+    (max |last Newton update| over every step whose knot any output
+    sample can read — padded-tail steps past a row's real window are
+    masked out). The solver state is rescaled O(1), so healthy solves sit
+    orders of magnitude below 1 while a diverging (partial-collapse)
+    Newton blows past it — the dynamic failure predicate the underflow
+    clamp alone cannot provide (docs/TPU_NOTES.md round-7).
     """
     if backend == "auto":
         # The fused kernel only lowers on TPU; CPU always takes the
@@ -324,9 +332,10 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
     y0 = initial_state(init_dN, ns[..., None], model=model, dtype=dtype)
     dts = jnp.asarray(dt, dtype).T  # (n_steps, B)
 
+    resid_t = None
     if backend in ("pallas", "pallas_interpret"):
         from metrotrpl_tpu.solver.pallas_step import integrate_observables_pallas
-        pl_t, trts_t = integrate_observables_pallas(
+        pl_t, trts_t, resid_t = integrate_observables_pallas(
             p, y0, dts, jnp.asarray(dx, dtype), model=model,
             scheme_name=scheme, newton_iters=newton_iters, block_b=block_b,
             interpret=(backend == "pallas_interpret"),
@@ -357,11 +366,15 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
             observe = lambda y: observables_std(
                 y, p, dxb[..., 0], model=model)
             y0i = y0
-        pl_t, trts_t = integrate_observables(
+        out = integrate_observables(
             rhs, observe, y0i, dts, scheme_name=scheme,
             newton_iters=newton_iters, refactor_every=refactor_every,
             n_ramp=n_ramp, jac=jac, ramp_block=ramp_block,
-            newton_plateau=newton_plateau)
+            newton_plateau=newton_plateau, with_resid=with_diag)
+        if with_diag:
+            (pl_t, trts_t), resid_t = out
+        else:
+            pl_t, trts_t = out
 
     if out_w is None:
         # (n_steps+1, B) -> (B, nt) gather at output knots
@@ -386,7 +399,21 @@ def solve_forward_batch(init_dN, raw_params, dx, dt, out_idx, is_trpl,
     do_clamp = jnp.take_along_axis(below, first[:, None], axis=1)
     tail = jnp.arange(sol.shape[1])[None, :] >= first[:, None]
     sol = jnp.where(tail & do_clamp, min_y, sol)
-    return sol[:B_in]
+    if not with_diag:
+        return sol[:B_in]
+    if resid_t is None:  # backend that doesn't stream it (none currently)
+        resid = jnp.zeros((sol.shape[0],), dtype)
+    else:
+        # reduce the per-knot residual stream over the knots any output
+        # sample of this row can read; padded-tail steps past the row's
+        # real window integrate post-decay garbage by design and must
+        # not flag the row. NaNs propagate through jnp.maximum, so a
+        # non-finite state inside the window keeps resid non-finite.
+        kmax = jnp.max(out_idx, axis=1) + (0 if out_w is None else 1)
+        knots = jnp.arange(resid_t.shape[0])[None, :]       # (1, n_steps+1)
+        r = jnp.where(knots <= kmax[:, None], resid_t.T, 0.0)
+        resid = jnp.max(r, axis=1)
+    return sol[:B_in], resid[:B_in]
 
 
 def solve_single(init_dN, raw_params, thickness, nx, t_out, meas="TRPL",

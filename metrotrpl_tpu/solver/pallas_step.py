@@ -44,7 +44,7 @@ from metrotrpl_tpu.solver.sdirk import SDIRK_SCHEMES, sdirk_factors, sdirk_stage
 N_PARAM_FIELDS = len(ScaledParams._fields)
 
 
-def _solve_kernel(dt_ref, y0_ref, par_ref, dx_ref, pl_ref, tr_ref, *,
+def _solve_kernel(dt_ref, y0_ref, par_ref, dx_ref, pl_ref, tr_ref, rs_ref, *,
                   model, scheme_name, newton_iters, n_steps, n_ramp,
                   refactor_every, ramp_block=1, newton_plateau=None):
     """Kernel: integrate one batch tile through all steps.
@@ -57,6 +57,12 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dx_ref, pl_ref, tr_ref, *,
                                kernel has always lowered through Mosaic)
     pl_ref    (Bt, n_steps+1)  scaled TRPL observable per knot (out)
     tr_ref    (Bt, n_steps+1)  scaled TRTS observable per knot (out)
+    rs_ref    (Bt, n_steps+1)  Newton-convergence residual per knot (out):
+                               max |last Newton update| over the step's
+                               implicit stages (solver/sdirk.py
+                               _maxabs_update). Streamed per knot so the
+                               caller can mask padded-tail steps past a
+                               row's real window before reducing.
     """
     scheme = SDIRK_SCHEMES[scheme_name]
     par = par_ref[:]                       # (Bt, NP)
@@ -105,6 +111,7 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dx_ref, pl_ref, tr_ref, *,
                 jnp.where(sel, tr_col[:, None], zero))
 
     pl0, tr0 = observed(y, 0)
+    rs0 = jnp.zeros_like(pl0)
 
     n_phase1 = n_steps if n_ramp is None else n_ramp
 
@@ -114,32 +121,37 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dx_ref, pl_ref, tr_ref, *,
         # refactorization — the plain non-chord stepper). ni = Newton
         # iterations per stage for this phase (plateau may use fewer).
         def body(b, carry):
-            y, pl_acc, tr_acc = carry
+            y, pl_acc, tr_acc, rs_acc = carry
             k0 = k_base + b * F
             h = dt_at(k0)
             factors = sdirk_factors(rhs, y, h, scheme, jac=jac)
             for i in range(F):
-                y = sdirk_stages(rhs, y, h, scheme, factors, ni)
+                y, r = sdirk_stages(rhs, y, h, scheme, factors, ni,
+                                    with_resid=True)
                 d_pl, d_tr = observed(y, k0 + i + 1)
                 pl_acc = pl_acc + d_pl
                 tr_acc = tr_acc + d_tr
-            return y, pl_acc, tr_acc
+                sel = out_iota == (k0 + i + 1)
+                rs_acc = rs_acc + jnp.where(sel, r[:, None],
+                                            jnp.zeros((), dtype))
+            return y, pl_acc, tr_acc, rs_acc
         return body
 
     R = int(ramp_block) if n_ramp is not None else 1
-    y, pl_acc, tr_acc = jax.lax.fori_loop(
-        0, n_phase1 // R, make_block_body(0, R, newton_iters), (y, pl0, tr0),
-        unroll=False)
+    y, pl_acc, tr_acc, rs_acc = jax.lax.fori_loop(
+        0, n_phase1 // R, make_block_body(0, R, newton_iters),
+        (y, pl0, tr0, rs0), unroll=False)
 
     if n_ramp is not None and n_ramp < n_steps:
         F = int(refactor_every)
         ni_p = newton_iters if newton_plateau is None else int(newton_plateau)
-        y, pl_acc, tr_acc = jax.lax.fori_loop(
+        y, pl_acc, tr_acc, rs_acc = jax.lax.fori_loop(
             0, (n_steps - n_ramp) // F, make_block_body(n_ramp, F, ni_p),
-            (y, pl_acc, tr_acc), unroll=False)
+            (y, pl_acc, tr_acc, rs_acc), unroll=False)
 
     pl_ref[:] = pl_acc
     tr_ref[:] = tr_acc
+    rs_ref[:] = rs_acc
 
 
 def integrate_observables_pallas(params, y0, dts, dx, model="std",
@@ -153,7 +165,8 @@ def integrate_observables_pallas(params, y0, dts, dx, model="std",
     y0     : (B, C, nx) scaled initial state
     dts    : (n_steps, B) step sizes
     dx     : (B,) cell sizes
-    Returns (pl_t, trts_t), each (n_steps + 1, B).
+    Returns (pl_t, trts_t, resid_t), each (n_steps + 1, B); resid_t is the
+    per-knot Newton-convergence residual (see _solve_kernel).
     """
     B, C, nx = y0.shape
     n_steps = dts.shape[0]
@@ -184,7 +197,7 @@ def integrate_observables_pallas(params, y0, dts, dx, model="std",
         newton_plateau=newton_plateau)
 
     grid = (B // block_b,)
-    pl_t, tr_t = pl.pallas_call(
+    pl_t, tr_t, rs_t = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -202,11 +215,14 @@ def integrate_observables_pallas(params, y0, dts, dx, model="std",
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, n_steps + 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, n_steps + 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((B, n_steps + 1), dtype),
             jax.ShapeDtypeStruct((B, n_steps + 1), dtype),
             jax.ShapeDtypeStruct((B, n_steps + 1), dtype),
         ],
         interpret=interpret,
     )(dt_b, y0_t, par, dx2)
-    return pl_t.T, tr_t.T
+    return pl_t.T, tr_t.T, rs_t.T

@@ -117,19 +117,43 @@ def sdirk_factors(rhs, y, h, scheme, jac=None):
     return tuple(alphas), tuple(betas), Dinv
 
 
-def sdirk_stages(rhs, y, h, scheme, factors, newton_iters=2):
+def _maxabs_update(d, planes):
+    """Per-row max |d| of a Newton update: reduce each plane over its grid
+    axis (planes layout, (..., n)) or the (C, n) trailing axes (stacked).
+    The state is rescaled O(1) per simulation, so this is a relative-scale
+    residual estimate: the size of the LAST Newton correction bounds the
+    remaining stage error when the iteration contracts, and blows up O(1)+
+    when it diverges (the partial-collapse failure surface,
+    docs/TPU_NOTES.md round-7)."""
+    if planes:
+        parts = [jnp.max(jnp.abs(p), axis=-1) for p in d]
+        out = parts[0]
+        for p in parts[1:]:
+            out = jnp.maximum(out, p)
+        return out
+    return jnp.max(jnp.abs(d), axis=(-2, -1))
+
+
+def sdirk_stages(rhs, y, h, scheme, factors, newton_iters=2,
+                 with_resid=False):
     """Run the stage sweep of one SDIRK step using prefactored Newton
     matrices (modified Newton: `factors` may be from an earlier state —
     the chord method — as long as h matches). y is a tuple of planes or a
     stacked (..., C, n) array; the stage algebra is representation-agnostic
-    via jax.tree.map."""
+    via jax.tree.map.
+
+    with_resid=True also returns the per-row max |last Newton update|
+    across the implicit stages — a convergence diagnostic (see
+    :func:`_maxabs_update`)."""
+    planes = _is_planes(y)
     # broadcast h over (..., n) planes / (..., C, n) stacked state
-    hb = jnp.asarray(h)[..., None] if _is_planes(y) \
+    hb = jnp.asarray(h)[..., None] if planes \
         else jnp.asarray(h)[..., None, None]
     gamma = scheme.gamma
     n_stages = scheme.A.shape[0]
     tmap = jax.tree.map
     fs = []
+    resid = None
     for i in range(n_stages):
         acc = y
         for j in range(i):
@@ -147,26 +171,35 @@ def sdirk_stages(rhs, y, h, scheme, factors, newton_iters=2):
         for _ in range(newton_iters):
             G = tmap(lambda Yi, ri, ai: Yi - hb * gamma * ri - ai,
                      Y, rhs(Y), acc)
-            Y = tmap(lambda Yi, di: Yi - di, Y, pcr_apply(factors, G))
+            d = pcr_apply(factors, G)
+            Y = tmap(lambda Yi, di: Yi - di, Y, d)
+        if with_resid:
+            r = _maxabs_update(d, planes)
+            resid = r if resid is None else jnp.maximum(resid, r)
         fs.append(tmap(lambda Yi, ai: (Yi - ai) / (hb * gamma), Y, acc))
+    if with_resid:
+        return Y, resid
     return Y
 
 
-def sdirk_step(rhs, y, h, scheme, newton_iters=2, jac=None):
+def sdirk_step(rhs, y, h, scheme, newton_iters=2, jac=None,
+               with_resid=False):
     """One SDIRK step of size h (h may be batched, broadcastable to the
     planes' batch dims).
 
     rhs : plane tuple (C arrays (..., n)) -> plane tuple
     Returns y_{n+1} (the final stage — all schemes here are stiffly
-    accurate).
+    accurate), plus the Newton-convergence residual when with_resid.
     """
     factors = sdirk_factors(rhs, y, h, scheme, jac=jac)
-    return sdirk_stages(rhs, y, h, scheme, factors, newton_iters)
+    return sdirk_stages(rhs, y, h, scheme, factors, newton_iters,
+                        with_resid=with_resid)
 
 
 def integrate_observables(rhs, observe, y0, dts, scheme_name="sdirk3",
                           newton_iters=2, refactor_every=1, n_ramp=None,
-                          jac=None, ramp_block=1, newton_plateau=None):
+                          jac=None, ramp_block=1, newton_plateau=None,
+                          with_resid=False):
     """Scan the stepper over a step-size sequence, emitting observables.
 
     y0 : plane-tuple state (C arrays of (..., n)).
@@ -191,17 +224,34 @@ def integrate_observables(rhs, observe, y0, dts, scheme_name="sdirk3",
     plateau solution varies slowly, so modified Newton contracts fast
     there and fewer corrections suffice — the ramp keeps the full count.
     Requires n_ramp (the phase boundary) when it differs.
+
+    with_resid=True appends the per-step Newton-convergence residual
+    (max |last update|, :func:`_maxabs_update`) to the emitted pytree:
+    the return becomes ``(obs_tree, resid)`` with resid of shape
+    (n_steps + 1, batch...) — index 0 (the initial state) is 0. The
+    per-knot stream lets the caller mask padded-tail steps past a row's
+    real measurement window before reducing.
     """
     scheme = SDIRK_SCHEMES[scheme_name]
     n_steps = dts.shape[0]
     ni_plateau = newton_iters if newton_plateau is None \
         else int(newton_plateau)
 
-    def body(y, dt_k):
-        y_new = sdirk_step(rhs, y, dt_k, scheme, newton_iters, jac=jac)
-        return y_new, observe(y_new)
+    def emit(y, resid):
+        return (observe(y), resid) if with_resid else observe(y)
 
-    first = jax.tree.map(lambda x: x[None], observe(y0))
+    def body(y, dt_k):
+        out = sdirk_step(rhs, y, dt_k, scheme, newton_iters, jac=jac,
+                         with_resid=with_resid)
+        y_new, r = out if with_resid else (out, None)
+        return y_new, emit(y_new, r)
+
+    obs0 = observe(y0)
+    if with_resid:
+        r0 = jnp.zeros(jax.tree.leaves(obs0)[0].shape,
+                       jax.tree.leaves(obs0)[0].dtype)
+        obs0 = (obs0, r0)
+    first = jax.tree.map(lambda x: x[None], obs0)
 
     if n_ramp is None or (refactor_every <= 1 and ramp_block <= 1
                           and ni_plateau == newton_iters):
@@ -231,8 +281,10 @@ def integrate_observables(rhs, observe, y0, dts, scheme_name="sdirk3",
             factors = sdirk_factors(rhs, y, dt_blk[0], scheme, jac=jac)
             outs = []
             for i in range(F):
-                y = sdirk_stages(rhs, y, dt_blk[i], scheme, factors, ni)
-                outs.append(observe(y))
+                out = sdirk_stages(rhs, y, dt_blk[i], scheme, factors, ni,
+                                   with_resid=with_resid)
+                y, r = out if with_resid else (out, None)
+                outs.append(emit(y, r))
             obs_blk = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
             return y, obs_blk
 

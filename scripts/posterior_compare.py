@@ -294,8 +294,10 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0, refactor=1):
 #: bump to invalidate cached tpu chains when the kernel's sampling
 #: behavior changes (rev 2: escalation ladder drops hmax to the
 #: validated default + refine x2 chord-free, and still-failed rows
-#: concede -inf — inference/likelihood.py build_likelihood_plan)
-TPU_SAMPLER_REV = 2
+#: concede -inf; rev 3: dynamic Newton-convergence failure predicate —
+#: partial collapses above the underflow clamp now escalate too,
+#: inference/likelihood.py NEWTON_DIV_TOL)
+TPU_SAMPLER_REV = 3
 
 
 def _cached_tpu_mh(t, vals, n_iters, hmax, refactor):
@@ -396,14 +398,16 @@ def _cached_oracle_ridge(t, vals, n_iters, warm_n):
 
 
 def run_ll_check(t, vals, n_states, hmax, refactor, warm_n, ridge_n,
-                 outname):
+                 outname, tpu_n=0):
     """Dense log-likelihood agreement on posterior-typical states.
 
     The mean-level z-test is bounded by the ORACLE's mixing on degenerate
     ridges (Sf/Sb ESS ~ 10 even under the ridge proposal). This check has
     no mixing error at all: draw states from the cached oracle chains
     (warmup + ridge, covering everywhere the oracle posterior visits,
-    including regions the tpu chains haven't), evaluate BOTH
+    including regions the tpu chains haven't) — and, when ``tpu_n`` names
+    a cached tpu run, from the tpu chains too, closing the converse gap
+    (regions the TPU walk visits that the oracle hasn't) — evaluate BOTH
     log-likelihoods at each state, and bound |dll|. If sup |dll| <= eps
     over the typical set, the two samplers' stationary densities agree
     within e^(2 eps) pointwise there — a strictly stronger statement than
@@ -416,14 +420,22 @@ def run_ll_check(t, vals, n_states, hmax, refactor, warm_n, ridge_n,
     from metrotrpl_tpu.inference.metropolis import build_mh_kernel
     from metrotrpl_tpu.inference.moves import build_move_plan
 
-    # posterior-typical states: thin both cached oracle chains post-burn
+    # posterior-typical states: thin every cached chain set post-burn
     warm, _ = _cached_oracle_mh(t, vals, warm_n)
     ridge, _ = _cached_oracle_ridge(t, vals, ridge_n, warm_n)
+    # (samples, n_draws, burn): oracle chains burn their first third;
+    # the tpu source is pre-sliced post-burn so its burn is 0
+    sources = [(warm, warm_n, warm_n // 3), (ridge, ridge_n, ridge_n // 3)]
+    if tpu_n:
+        tpu_s, _ = _cached_tpu_mh(t, vals, tpu_n, hmax, refactor)
+        # (iters, K) chains -> flattened post-burn draws
+        tpu_flat = {k: np.asarray(tpu_s[k])[tpu_n // 3:].ravel()
+                    for k in ACTIVE}
+        sources.append((tpu_flat, len(tpu_flat[ACTIVE[0]]), 0))
     halves = []
-    for samples, n in ((warm, warm_n), (ridge, ridge_n)):
-        burn = n // 3
-        idx = np.linspace(burn, n - 1, n_states // 2).astype(int)
-        halves.append({k: samples[k][idx] for k in ACTIVE})
+    for samples, n, burn in sources:
+        idx = np.linspace(burn, n - 1, n_states // len(sources)).astype(int)
+        halves.append({k: np.asarray(samples[k])[idx] for k in ACTIVE})
     chosen = {k: np.concatenate([h[k] for h in halves]) for k in ACTIVE}
     S = len(chosen[ACTIVE[0]])
 
@@ -487,10 +499,11 @@ def run_ll_check(t, vals, n_states, hmax, refactor, warm_n, ridge_n,
         "",
         f"Pointwise |ll_tpu - ll_oracle| at {S} posterior-typical states",
         f"(thinned from the cached {warm_n}-iter uniform and {ridge_n}-iter"
-        " ridge oracle chains",
-        "post-burn — i.e. everywhere the ORACLE posterior walks, including"
+        " ridge oracle chains"
+        + (f" and the cached {tpu_n}-iter tpu chains" if tpu_n else ""),
+        "post-burn — i.e. everywhere EITHER posterior walks, including"
         " ridge corners",
-        "the tpu chains may not have visited). tpu side = the production"
+        "only one of the samplers visited). tpu side = the production"
         " compiled kernel",
         f"(fast mode, hmax={hmax:g}, chord refactor_every={refactor},"
         " float32); oracle side =",
@@ -509,15 +522,18 @@ def run_ll_check(t, vals, n_states, hmax, refactor, warm_n, ridge_n,
         f"{int(fin.sum())}/{S} states finite in both"
         f" ({int((~fin).sum())} -inf/diverged mismatches).",
         f"Tail: {int((ad > 1).sum())}/{S} states exceed |dll| 1, "
-        f"{int((ad > 20).sum())}/{S} exceed 20 — partial h48 collapses "
-        "above the underflow-clamp",
-        "failure predicate (docs/TPU_NOTES.md round-7); every one "
-        "SUPPRESSES density (ll_tpu < ll_oracle:"
-        f" {int((d[fin] < -1).sum())}/{int((ad > 1).sum())} of the >1 "
-        "tail), so they thin the tpu walk there rather than attract it.",
+        f"{int((ad > 20).sum())}/{S} exceed 20"
+        + (f"; of the >1 tail, {int((d[fin] < -1).sum())}"
+           f"/{int((ad > 1).sum())} SUPPRESS density (ll_tpu < ll_oracle), "
+           "thinning the tpu walk there rather than attracting it"
+           if int((ad > 1).sum()) else "") + ".",
+        "Solver-failure handling: the dynamic Newton-convergence predicate"
+        " + escalation ladder",
+        "(docs/TPU_NOTES.md rounds 7-8) — flagged rows re-solve at"
+        " h4/refine2/chord-free inline.",
         "",
         "Reproduce: `python scripts/posterior_compare.py "
-        f"{ridge_n} 0 {hmax:g} {outname} --preset {PRESET} "
+        f"{ridge_n} {tpu_n} {hmax:g} {outname} --preset {PRESET} "
         f"--refactor {refactor} --ridge {warm_n} --ll-check {n_states}`.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(
@@ -589,7 +605,7 @@ def main():
     if ll_check:
         run_ll_check(t, vals, ll_check, hmax, refactor,
                      warm_n=(ridge_warm or 16000), ridge_n=n_oracle,
-                     outname=outname)
+                     outname=outname, tpu_n=n_tpu)
         return
 
     def oracle_half():

@@ -515,3 +515,111 @@ def test_native_rhs_oracle_matches_numpy():
     b = solve_reference(init_dN, thickness, nx, t_out, params, rhs="native")
     err = np.abs(np.log10(a) - np.log10(b))
     assert err.max() < 1e-7, f"max log10 err {err.max():.2e}"
+
+
+def _diag_batch(times, nx=24, hmax=4.0, dtype=None):
+    """Small solver batch (one row per entry of ``times``) for the
+    with_diag tests."""
+    import jax.numpy as jnp
+
+    from metrotrpl_tpu.physics.models import beer_lambert
+    from metrotrpl_tpu.solver.forward import make_forward_plan
+
+    dtype = dtype or jnp.float64
+    B = len(times)
+    lengths = [311.0] * B
+    plan = make_forward_plan(lengths, [nx] * B, ["TRPL"] * B, times,
+                             hmax=hmax)
+    x = jnp.asarray(plan.x_centers, dtype)
+    init = beer_lambert(jnp.full((B, 1), 2.12e-3, dtype),
+                        jnp.full((B, 1), 6e-3, dtype), x)
+    raw = {k: jnp.full(B, v, dtype) for k, v in staub_params().items()}
+    return plan, init, raw
+
+
+def test_with_diag_healthy_resid_small_and_sol_unchanged():
+    """with_diag=True returns the identical solution plus a per-row
+    Newton-convergence residual that sits far below the failure threshold
+    (inference.likelihood.NEWTON_DIV_TOL) for healthy solves — the
+    calibration contract of the dynamic failure predicate
+    (docs/TPU_NOTES.md round-8)."""
+    import jax.numpy as jnp
+
+    from metrotrpl_tpu.inference.likelihood import NEWTON_DIV_TOL
+    from metrotrpl_tpu.solver.forward import solve_forward_batch
+
+    plan, init, raw = _diag_batch([np.linspace(0, 50, 9)] * 4)
+    args = (init, raw, jnp.asarray(plan.dx), jnp.asarray(plan.dt),
+            jnp.asarray(plan.out_idx), jnp.asarray(plan.is_trpl))
+    sol = np.asarray(solve_forward_batch(*args))
+    sol_d, resid = solve_forward_batch(*args, with_diag=True)
+    np.testing.assert_array_equal(np.asarray(sol_d), sol)
+    resid = np.asarray(resid)
+    assert resid.shape == (4,)
+    assert np.all(np.isfinite(resid)) and np.all(resid >= 0)
+    # healthy f64 solves converge orders of magnitude below the threshold
+    assert resid.max() < NEWTON_DIV_TOL * 1e-2, resid
+
+
+def test_with_diag_masks_padded_tail():
+    """The residual reduce must ignore padded-tail steps past a row's real
+    output window (they integrate post-decay garbage by design), while an
+    in-window divergence must flag. Rows: A long window, B short window
+    whose padding covers A's tail."""
+    import jax.numpy as jnp
+
+    from metrotrpl_tpu.solver.forward import solve_forward_batch
+
+    times = [np.linspace(0, 50, 9), np.linspace(0, 10, 3)]
+    plan, init, raw = _diag_batch(times)
+    kmax_b = int(plan.out_idx[1].max())
+    assert kmax_b < plan.n_steps  # row B really has a padded tail
+
+    # poison row B's dt AFTER its last output knot: the state there goes
+    # NaN but no output sample reads it — resid must stay clean
+    bad_dt = np.array(plan.dt, copy=True)
+    bad_dt[1, kmax_b + 1] = np.nan
+    args = (init, raw, jnp.asarray(plan.dx), jnp.asarray(bad_dt),
+            jnp.asarray(plan.out_idx), jnp.asarray(plan.is_trpl))
+    sol, resid = solve_forward_batch(*args, with_diag=True)
+    sol, resid = np.asarray(sol), np.asarray(resid)
+    assert np.all(np.isfinite(resid)) and resid.max() < 1e-4
+    nt_b = len(times[1])
+    assert np.all(np.isfinite(sol[1, :nt_b]))
+
+    # poison row B INSIDE its window: resid must flag (non-finite
+    # propagates through the masked max), row A must stay clean
+    bad_dt2 = np.array(plan.dt, copy=True)
+    bad_dt2[1, max(kmax_b - 1, 0)] = np.nan
+    args2 = (init, raw, jnp.asarray(plan.dx), jnp.asarray(bad_dt2),
+             jnp.asarray(plan.out_idx), jnp.asarray(plan.is_trpl))
+    _, resid2 = solve_forward_batch(*args2, with_diag=True)
+    resid2 = np.asarray(resid2)
+    assert not np.isfinite(resid2[1])
+    assert np.isfinite(resid2[0]) and resid2[0] < 1e-4
+
+
+def test_with_diag_pallas_interpret_resid():
+    """The fused Pallas kernel streams the same per-knot residual: healthy
+    rows reduce to a tiny finite value and the solution equals the
+    diag-free call."""
+    import jax
+    import jax.numpy as jnp
+
+    from metrotrpl_tpu.solver.forward import solve_forward_batch
+
+    plan, init, raw = _diag_batch([np.linspace(0, 50, 9)] * 8, nx=32,
+                                  dtype=jnp.float32)
+    args = (init, raw, jnp.asarray(plan.dx, jnp.float32),
+            jnp.asarray(plan.dt, jnp.float32), jnp.asarray(plan.out_idx),
+            jnp.asarray(plan.is_trpl))
+    run = jax.jit(lambda *a: solve_forward_batch(
+        *a, backend="pallas_interpret", block_b=8, with_diag=True))
+    sol, resid = run(*args)
+    resid = np.asarray(resid)
+    assert resid.shape == (8,)
+    assert np.all(np.isfinite(resid)) and np.all(resid >= 0)
+    assert resid.max() < 1e-3  # f32 healthy solves converge well below tol
+    sol_plain = jax.jit(lambda *a: solve_forward_batch(
+        *a, backend="pallas_interpret", block_b=8))(*args)
+    np.testing.assert_array_equal(np.asarray(sol), np.asarray(sol_plain))

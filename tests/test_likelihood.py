@@ -439,3 +439,30 @@ def test_mu_constraint_requires_log_mobilities():
     pi["do_log"]["mu_n"] = 0
     with pytest.raises(ValueError, match="do_mu_constraint requires"):
         build_move_plan(pi, {})
+
+
+def test_newton_divergence_predicate_wiring(monkeypatch):
+    """The dynamic Newton-convergence predicate (NEWTON_DIV_TOL,
+    docs/TPU_NOTES.md round-8) feeds the solver-failure decision: with an
+    impossible threshold every row flags (and, surviving escalation,
+    concedes -inf); with the calibrated default a healthy solve passes
+    untouched and reports its residual diagnostic."""
+    import metrotrpl_tpu.inference.likelihood as L
+
+    sim_info, mcmc, e_data, iniPar = _synth()
+    pi = _param_info()
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
+
+    out = make_eval_logll(plan)(_state(pi), jnp.asarray([1.0]))
+    assert np.isfinite(float(out["logll_T"][0, 0]))
+    assert out["resid"].shape == (1, 1)
+    r = float(out["resid"][0, 0])
+    assert 0 <= r < L.NEWTON_DIV_TOL
+    assert int(out["n_solver_fail"]) == 0
+
+    # impossible threshold: resid >= 0 always flags; the escalated
+    # re-solve can't pass it either, so the row concedes -inf
+    monkeypatch.setattr(L, "NEWTON_DIV_TOL", -1.0)
+    out2 = make_eval_logll(plan)(_state(pi), jnp.asarray([1.0]))
+    assert float(out2["logll_T"][0, 0]) == -np.inf
+    assert int(out2["n_solver_fail"]) == 1
