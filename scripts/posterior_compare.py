@@ -222,7 +222,7 @@ def run_oracle_mh(t, vals, n_iters, partial_path=None, resume=None,
 
 
 def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0, refactor=1,
-               refine=1):
+               refine=1, newton_plateau=None):
     import jax
 
     # honor an explicit JAX_PLATFORMS (e.g. =cpu to run the compiled
@@ -254,7 +254,8 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0, refactor=1,
     e_data = ([t] * M, vals, [np.full(NT, UNC)] * M)
     plan = build_likelihood_plan(sim_info, param_info, mcmc, e_data, iniPar,
                                  hmax=hmax, align_outputs=False,
-                                 refactor_every=refactor, refine=refine)
+                                 refactor_every=refactor, refine=refine,
+                                 newton_plateau=newton_plateau)
     mp = build_move_plan(param_info, mcmc)
     base_move = np.array([WIDTH if n in ACTIVE else 0.0 for n in NAMES])
     temps = np.ones(n_chains)
@@ -301,12 +302,13 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0, refactor=1,
 TPU_SAMPLER_REV = 3
 
 
-def _cached_tpu_mh(t, vals, n_iters, hmax, refactor, refine=1, n_chains=8):
+def _cached_tpu_mh(t, vals, n_iters, hmax, refactor, refine=1, n_chains=8,
+                   newton_plateau=None):
     """Cache the tpu half like the oracle half: the two are independent,
     so the tpu chain can run (on the idle accelerator) while the oracle
     extends (on the host core), and the final z-test assembles both from
-    cache. Non-default refine/n_chains extend the key (conditionally, so
-    existing default-shape caches stay valid)."""
+    cache. Non-default refine/n_chains/newton_plateau extend the key
+    (conditionally, so existing default-shape caches stay valid)."""
     import hashlib
 
     consts = repr((NX, NT, T_END, LENGTHS, sorted(TRUE.items()), ACTIVE,
@@ -314,7 +316,9 @@ def _cached_tpu_mh(t, vals, n_iters, hmax, refactor, refine=1, n_chains=8):
                    WIDTH, SIGMA, UNC, FLU, hmax, refactor,
                    TPU_SAMPLER_REV)
                   + ((refine, n_chains)
-                     if (refine != 1 or n_chains != 8) else ()))
+                     if (refine != 1 or n_chains != 8) else ())
+                  + (("np", newton_plateau)
+                     if newton_plateau is not None else ()))
     tag = hashlib.sha1(consts.encode()).hexdigest()[:10]
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          f".tpu_mh_{n_iters}_{SEED}_{tag}.npz")
@@ -324,7 +328,8 @@ def _cached_tpu_mh(t, vals, n_iters, hmax, refactor, refine=1, n_chains=8):
         return {k: z[k] for k in ACTIVE}, float(z["acc"])
     samples, acc = run_tpu_mh(t, vals, n_iters, hmax=hmax,
                               refactor=refactor, refine=refine,
-                              n_chains=n_chains)
+                              n_chains=n_chains,
+                              newton_plateau=newton_plateau)
     np.savez(cache, acc=acc, **samples)
     return samples, acc
 
@@ -626,6 +631,76 @@ def run_gold_check(t, vals, n_iters, hmax, refactor, outname, n_chains=32):
     print(f"wrote {out}; worst |z| {worst:.2f} worst |z_mc| {worst_mc:.2f}")
 
 
+def run_np_check(t, vals, n_iters, hmax, refactor, outname, n_chains=32):
+    """Mean-level agreement between the production fast sampler and the
+    SAME sampler with newton_plateau=1 (single modified-Newton correction
+    per implicit stage on the constant-dt plateau — the dependency-depth
+    lever measured at +20% aggregate walker-steps/s on the flagship
+    workload, scripts/probe_r7_newton.py). Both sides run on the
+    accelerator at high ESS; production fast is itself validated against
+    gold (run_gold_check) and the f64 oracle (the r05/r06 artifacts), so
+    np1==fast at tight MC error extends that chain to newton_plateau=1."""
+    base, acc_b = _cached_tpu_mh(t, vals, n_iters, hmax, refactor,
+                                 n_chains=n_chains)
+    np1, acc_n = _cached_tpu_mh(t, vals, n_iters, hmax, refactor,
+                                n_chains=n_chains, newton_plateau=1)
+    burn = n_iters // 3
+    lines = [
+        f"# newton_plateau=1 posterior agreement — "
+        f"{os.path.splitext(outname)[0]}",
+        "",
+        "Both samplers are this framework's compiled kernel on the same"
+        f" dataset ({len(LENGTHS)} TRPL",
+        f"curves, nx={NX}, preset {PRESET}), {n_chains} untempered chains"
+        f" x {n_iters} iterations, burn-in {burn}:",
+        "",
+        f"* **production** — fast mode (hmax={hmax:g}, chord "
+        f"refactor_every={refactor}, 2 Newton), acceptance {acc_b:.2f};",
+        "  validated against gold and the f64 LSODA oracle"
+        " (docs/POSTERIOR_r05_full.md, docs/POSTERIOR_r06_gold.md).",
+        f"* **np1** — same config with newton_plateau=1 (one Newton"
+        f" correction per plateau stage), acceptance {acc_n:.2f}.",
+        "",
+        "| param | truth | production mean +/- sigma (ESS) | "
+        "np1 mean +/- sigma (ESS) | |z| | |z_mc| |",
+        "|---|---|---|---|---|---|",
+    ]
+    worst = 0.0
+    worst_mc = 0.0
+    for p in ACTIVE:
+        sb = base[p][burn:]
+        sn = np1[p][burn:]
+        lb, ln = np.log10(sb.ravel()), np.log10(sn.ravel())
+        mb, s_b = lb.mean(), lb.std()
+        mn, s_n = ln.mean(), ln.std()
+        essb, essn = ess_log10(sb), ess_log10(sn)
+        z = abs(mb - mn) / max(np.hypot(s_b, s_n), 1e-12)
+        z_mc = abs(mb - mn) / max(np.sqrt(
+            s_b ** 2 + s_n ** 2 + s_b ** 2 / essb + s_n ** 2 / essn), 1e-12)
+        worst, worst_mc = max(worst, z), max(worst_mc, z_mc)
+        lines.append(
+            f"| {p} | {TRUE[p]:g} | 10^({mb:.4f} +/- {s_b:.4f}) "
+            f"({essb:.0f}) | 10^({mn:.4f} +/- {s_n:.4f}) ({essn:.0f}) "
+            f"| {z:.2f} | {z_mc:.2f} |")
+    lines += [
+        "",
+        f"Largest |z|: **{worst:.2f}**; largest MC-error-aware |z_mc|: "
+        f"**{worst_mc:.2f}** — newton_plateau=1's",
+        "posterior means agree with the production config within "
+        + ("their posterior uncertainty." if worst < 1 else
+           "threshold EXCEEDED."),
+        "",
+        "Reproduce: `python scripts/posterior_compare.py "
+        f"0 {n_iters} {hmax:g} {outname} --preset {PRESET} "
+        f"--refactor {refactor} --np-check {n_chains}`.",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", outname)
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}; worst |z| {worst:.2f} worst |z_mc| {worst_mc:.2f}")
+
+
 def ess_log10(x):
     """Effective sample size of a (possibly multi-chain) sample set in
     log10 space: per-chain integrated-autocorrelation-time ESS (initial
@@ -681,6 +756,13 @@ def main():
         i = argv.index("--gold-check")
         gold_check = int(argv[i + 1])
         del argv[i:i + 2]
+    np_check = 0
+    if "--np-check" in argv:
+        # --np-check N: production fast vs fast-with-newton_plateau=1 at
+        # N chains each (run_np_check); n_tpu sets the iteration count
+        i = argv.index("--np-check")
+        np_check = int(argv[i + 1])
+        del argv[i:i + 2]
     ll_check = 0
     if "--ll-check" in argv:
         # --ll-check N: pointwise log-likelihood agreement at N
@@ -695,6 +777,10 @@ def main():
     if gold_check:
         run_gold_check(t, vals, n_tpu, hmax, refactor, outname,
                        n_chains=gold_check)
+        return
+    if np_check:
+        run_np_check(t, vals, n_tpu, hmax, refactor, outname,
+                     n_chains=np_check)
         return
     if ll_check:
         run_ll_check(t, vals, ll_check, hmax, refactor,

@@ -117,6 +117,13 @@ def main():
         fin = np.isfinite(ll) & np.isfinite(ref)
         n_dis = int((~np.isfinite(ll) ^ ~np.isfinite(ref)).sum())
         d = np.abs(ll[fin] - ref[fin])
+        if d.size == 0:
+            # the +/-0.3-dex starting ball can land every row on -inf
+            # under the round-8 predicate; the f64 accuracy sweep in the
+            # comment above is the accuracy evidence in that case
+            print(f"{key}: no mutually finite ll at the probe states "
+                  f"({n_dis} disagree on -inf)")
+            continue
         print(f"{key}: |dll| max {d.max():.3e} mean {d.mean():.3e} over "
               f"{fin.sum()}/{fin.size} finite ({n_dis} disagree on -inf)")
 
