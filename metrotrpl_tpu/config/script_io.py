@@ -223,6 +223,8 @@ def parse_config_script_file(path):
                     MCMC_fields["ramp_block"] = int(value)
                 elif key.startswith("Solver newton_plateau"):
                     MCMC_fields["newton_plateau"] = int(value)
+                elif key.startswith("Solver newton_div_tol"):
+                    MCMC_fields["newton_div_tol"] = float(value)
                 elif key.startswith("Init mode"):
                     MCMC_fields["ini_mode"] = value
                 elif key.startswith("Likelihood-to-trial-move"):
@@ -567,6 +569,11 @@ def generate_config_script_file(
                        "plateau (ramp keeps the full count)")
             f.write("Solver newton_plateau: "
                     f"{MCMC_fields['newton_plateau']}\n")
+        if "newton_div_tol" in MCMC_fields:
+            comment(f, "Newton-convergence failure threshold (O(1)-scaled "
+                       "residual above which a solve escalates/fails)")
+            f.write("Solver newton_div_tol: "
+                    f"{MCMC_fields['newton_div_tol']}\n")
         comment(f, "Initial condition mode: density | fluence")
         f.write(f"Init mode: {MCMC_fields['ini_mode']}\n")
         if "likel2move_ratio" in MCMC_fields and "model_uncertainty" in MCMC_fields:

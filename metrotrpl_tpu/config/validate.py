@@ -242,7 +242,7 @@ def validate_MCMC_fields(
             "MCMC control 'ini_mode' must be a supported initial condition "
             "mode: density or fluence"
         )
-    for tolkey in ("rtol", "atol", "hmax"):
+    for tolkey in ("rtol", "atol", "hmax", "newton_div_tol"):
         if tolkey in MCMC_fields:
             v = MCMC_fields[tolkey]
             # hmax 0 is the odeint "no step limit" sentinel and is legal;

@@ -55,17 +55,25 @@ class MHTopology(NamedTuple):
     gather: Callable         # (st_l, ll_l) -> (st_g (E_l,K,P), ll_g (E_l,K,K))
     scatter: Callable        # (st_g, ll_g, att (E_l,K), acc (E_l,K))
     #                          -> (st_l, ll_l, att_l, acc_l)
-    psum: Callable           # scalar -> global-sum scalar
+    psum_fail: Callable      # (E_l,) local fail counts -> (E_l,) summed
+    #                          over every device sharing these ensembles
 
 
-def single_device_topology(E_l, K):
-    """Identity topology: one block holds all E_l ensembles x K chains."""
+def single_device_topology(E_l, K, e0=0):
+    """Identity topology: one block holds all E_l ensembles x K chains.
+
+    e0 : global ensemble offset of the block (may be a traced int32) —
+        lets a single-device kernel reproduce ensemble e of a sharded
+        run bit-exactly (the keyed RNG folds in GLOBAL ensemble
+        indices), which is how the sharded driver re-runs ONE failing
+        ensemble through the inline-escalation kernel instead of
+        re-running the whole mesh window."""
     return MHTopology(
         E_l=E_l, K_l=K, K=K,
-        offsets=lambda: (0, 0),
+        offsets=lambda: (e0, 0),
         gather=lambda st, ll: (st, ll),
         scatter=lambda st, ll, att, acc: (st, ll, att, acc),
-        psum=lambda x: x,
+        psum_fail=lambda x: x,
     )
 
 
@@ -108,15 +116,17 @@ def make_window_body(eval_nf, move_plan, widths, temper_freq, do_tempering,
     """Build the device-local window function.
 
     eval_nf : (E_l, K_l, P) states -> ((E_l, K_l, K) ll at every
-        temperature, () int32 diverged-solve count). The heavy batched
-        forward solve; constructed by the caller (this is where backend /
-        chunking / escalation / sharding hints live).
+        temperature, (E_l,) int32 diverged-solve count per local
+        ensemble). The heavy batched forward solve; constructed by the
+        caller (this is where backend / chunking / escalation / sharding
+        hints live).
     widths : (K, P) temperature-scaled proposal half-widths (global rows).
     topo : MHTopology.
 
     Returns window_body(states_l, ll_l, k0, base_key, n_valid) ->
         (states_l, ll_l, swap_att (E_l, K_l), swap_acc (E_l, K_l),
-         nfail (), hist=(states, ll_own, accept) stacked over the window).
+         nfail (E_l,) per-ensemble diverged-solve counts,
+         hist=(states, ll_own, accept) stacked over the window).
 
     n_valid : dynamic int32 — iterations [k0, k0 + n_valid) are real;
         the remaining scan-tail iterations of a partial final window
@@ -162,7 +172,7 @@ def make_window_body(eval_nf, move_plan, widths, temper_freq, do_tempering,
             k_prop, k_acc, k_swap = jax.random.split(key_iter, 3)
 
             new_states = propose(states_l, k_prop)
-            new_ll, nf = eval_nf(new_states)
+            new_ll, nf = eval_nf(new_states)     # nf: (E_l,)
             nfail = nfail + jnp.where(valid, nf, 0)
 
             ll_own_new = jnp.take_along_axis(
@@ -197,12 +207,12 @@ def make_window_body(eval_nf, move_plan, widths, temper_freq, do_tempering,
 
         swap_att = jnp.zeros((E_l, K_l), jnp.int32)
         swap_acc = jnp.zeros((E_l, K_l), jnp.int32)
-        nfail0 = jnp.zeros((), jnp.int32)
+        nfail0 = jnp.zeros((E_l,), jnp.int32)
         ks = k0 + jnp.arange(window)
         carry, hist = jax.lax.scan(
             one_iter, (states_l, ll_l, swap_att, swap_acc, nfail0), ks)
         states_l, ll_l, swap_att, swap_acc, nfail = carry
-        nfail = topo.psum(nfail)
+        nfail = topo.psum_fail(nfail)
         return states_l, ll_l, swap_att, swap_acc, nfail, hist
 
     return window_body

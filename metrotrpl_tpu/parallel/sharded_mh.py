@@ -93,11 +93,14 @@ def mesh_topology(mesh, E, K, n_params):
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0, K_l, axis=1)
         return sl(st_g), sl(ll_g), sl(att), sl(acc)
 
-    def psum(x):
-        return jax.lax.psum(x, (ens_ax, ch_ax))
+    def psum_fail(x):
+        # (E_l,) local per-ensemble fail counts: sum over the chain
+        # shards that share these ensembles (the ens axis partitions
+        # DIFFERENT ensembles — no reduction there)
+        return jax.lax.psum(x, ch_ax)
 
     return MHTopology(E_l=E_l, K_l=K_l, K=K, offsets=offsets,
-                      gather=gather, scatter=scatter, psum=psum)
+                      gather=gather, scatter=scatter, psum_fail=psum_fail)
 
 
 def build_sharded_mh_kernel(like_plan, move_plan, temps, base_trial_move,
@@ -134,11 +137,14 @@ def build_sharded_mh_kernel(like_plan, move_plan, temps, base_trial_move,
     n_params = like_plan.n_params
 
     def eval_nf(states_l):
-        """(E_l, K_l, P) -> ((E_l, K_l, K), ()): the heavy batched solve,
-        fully device-local, plus the diverged-solve count."""
+        """(E_l, K_l, P) -> ((E_l, K_l, K), (E_l,)): the heavy batched
+        solve, fully device-local, plus per-ensemble diverged-solve
+        counts."""
         flat = states_l.reshape(E_l * K_l, n_params)
         r = eval_logll(flat, temps_j)
-        return r["logll_T"].reshape(E_l, K_l, K), r["n_solver_fail"]
+        return (r["logll_T"].reshape(E_l, K_l, K),
+                r["fail_states"].reshape(E_l, K_l).sum(
+                    axis=1, dtype=jnp.int32))
 
     topo = mesh_topology(mesh, E, K, n_params)
     window_body = make_window_body(
@@ -156,8 +162,11 @@ def build_sharded_mh_kernel(like_plan, move_plan, temps, base_trial_move,
     _run_window = jax.jit(shard_map(
         window_body, mesh=mesh,
         in_specs=(sspec, lspec, P(), P(), P()),
+        # nfail: (E_l,) per device, concatenated over the ens axis to a
+        # global (E,) per-ensemble count (chain shards were psum-reduced
+        # in-kernel, so any one chain shard's copy is the total)
         out_specs=(sspec, lspec, P(ens_ax, ch_ax), P(ens_ax, ch_ax),
-                   P(), hist_spec),
+                   P(ens_ax), hist_spec),
     ))
 
     def run_window(states, ll, k0, base_key, n_valid=None):

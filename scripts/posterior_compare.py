@@ -61,18 +61,28 @@ def apply_preset(name):
       thicknesses, the shipped fluence file), ALL 10 active parameters
       (reference MCMC_script_writer.py active set). nx stays 32 and
       t <= 1000 ns to keep the serial LSODA oracle tractable on this
-      host's single CPU core; the fixed-step solver is HARSHER at coarse
-      nx, so agreement here bounds the full-fidelity case.
+      host's single CPU core.
+    * ``flagship`` — the EXACT reference workload shape (reference
+      MCMC_script_writer.py:46-156 / Inputs/mcmc0.txt, the BASELINE.json
+      north star): 6 curves, nx=128, 501 points over 2000 ns, 10 active
+      parameters. The serial LSODA oracle costs ~3 s/iteration here, so
+      the oracle leg uses the TPU-covariance ridge proposal
+      (--tpu-ridge) and runs for hours in the background.
     """
-    global NT, T_END, LENGTHS, FLU, ACTIVE, START, PRIOR, WIDTH, PRESET
+    global NX, NT, T_END, LENGTHS, FLU, ACTIVE, START, PRIOR, WIDTH, PRESET
     if name == "3p":
         return
-    if name != "full":
-        raise SystemExit(f"unknown preset {name!r} (3p | full)")
+    if name not in ("full", "flagship"):
+        raise SystemExit(f"unknown preset {name!r} (3p | full | flagship)")
     from metrotrpl_tpu.workloads import STAUB_INACTIVE, STAUB_PRIOR
-    PRESET = "full"
-    NT = 101
-    T_END = 1000.0
+    PRESET = name
+    if name == "flagship":
+        NX = 128
+        NT = 501
+        T_END = 2000.0
+    else:
+        NT = 101
+        T_END = 1000.0
     LENGTHS = [311.0, 2000.0] * 3
     flu = np.loadtxt(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "Inputs",
@@ -209,7 +219,7 @@ def run_oracle_mh(t, vals, n_iters, partial_path=None, resume=None,
             n_acc += 1
         for k in ACTIVE:
             samples[k][it] = 10 ** x[k]
-        if (it + 1) % 200 == 0:
+        if (it + 1) % 100 == 0:
             print(f"  oracle MH {it + 1}/{n_iters} "
                   f"({(time.perf_counter() - clock) / (it + 1 - it0):.2f} "
                   f"s/iter, accept {n_acc / (it + 1):.2f})", flush=True)
@@ -222,7 +232,7 @@ def run_oracle_mh(t, vals, n_iters, partial_path=None, resume=None,
 
 
 def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0, refactor=1,
-               refine=1, newton_plateau=None):
+               refine=1, newton_plateau=None, backend="auto"):
     import jax
 
     # honor an explicit JAX_PLATFORMS (e.g. =cpu to run the compiled
@@ -268,7 +278,8 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0, refactor=1,
     # ~1/3 of the full preset's posterior (docs/LL_AGREEMENT_r05.md)
     kern = build_mh_kernel(plan, mp, temps, base_move, temper_freq=10,
                            do_tempering=False, window=window,
-                           dtype=jnp.float32, escalate="inline")
+                           dtype=jnp.float32, escalate="inline",
+                           backend=backend)
     states = jnp.asarray(np.tile(
         [param_info["init_guess"][n] for n in NAMES], (n_chains, 1)),
         jnp.float32)
@@ -394,6 +405,58 @@ def _cached_oracle_ridge(t, vals, n_iters, warm_n):
     if os.path.exists(cache):
         z = np.load(cache)
         print(f"  (ridge oracle MH from cache {cache})", flush=True)
+        return {k: z[k] for k in ACTIVE}, float(z["acc"])
+    resume = None
+    if os.path.exists(cache + ".partial.npz"):
+        part = np.load(cache + ".partial.npz")
+        if int(part["n_done"]) < n_iters:
+            resume = part
+    samples, acc = run_oracle_mh(t, vals, n_iters,
+                                 partial_path=cache + ".partial.npz",
+                                 resume=resume, cov=cov, start=start)
+    np.savez(cache, acc=acc, **samples)
+    return samples, acc
+
+
+def _cached_oracle_ridge_tpu(t, vals, n_iters, tpu_n, hmax, refactor,
+                             n_chains=8):
+    """Ridge-proposal oracle whose proposal covariance comes from the
+    cached TPU chains instead of a CPU warmup chain (the flagship-preset
+    oracle: a uniform-proposal warmup long enough to estimate a 10-d
+    covariance would alone cost days at ~3 s/LSODA-iteration on this
+    host's single core).
+
+    Validity: the proposal is a FIXED symmetric Gaussian (x' = x + L z),
+    so the oracle chain's stationary distribution is the exact
+    reference-math posterior regardless of where the covariance numbers
+    came from — a proposal can change the MIXING RATE only, never the
+    target. If the TPU posterior (and hence the covariance estimate)
+    were wrong, the oracle would simply mix worse and the reported ESS
+    would expose it; it cannot be pulled toward the TPU answer. The
+    chain starts at the TPU posterior mean and burns n_iters//3 like
+    every other leg, so with ESS >~ 100 the start point is forgotten
+    many times over."""
+    import hashlib
+
+    tpu_s, _ = _cached_tpu_mh(t, vals, tpu_n, hmax, refactor,
+                              n_chains=n_chains)
+    burn = tpu_n // 3
+    X = np.log10(np.stack(
+        [np.asarray(tpu_s[k])[burn:].ravel() for k in ACTIVE], axis=1))
+    cov = np.cov(X.T) * (2.38 ** 2 / len(ACTIVE))
+    start = {k: float(10 ** X[:, j].mean())
+             for j, k in enumerate(ACTIVE)}
+
+    consts = repr((NX, NT, T_END, LENGTHS, sorted(TRUE.items()), ACTIVE,
+                   sorted(START.items()), sorted(PRIOR.items()),
+                   WIDTH, SIGMA, UNC, FLU, "tpucov", tpu_n,
+                   np.round(cov, 12).tolist()))
+    tag = hashlib.sha1(consts.encode()).hexdigest()[:10]
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f".oracle_tmh_{n_iters}_{SEED}_{tag}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        print(f"  (tpu-cov ridge oracle MH from cache {cache})", flush=True)
         return {k: z[k] for k in ACTIVE}, float(z["acc"])
     resume = None
     if os.path.exists(cache + ".partial.npz"):
@@ -631,6 +694,57 @@ def run_gold_check(t, vals, n_iters, hmax, refactor, outname, n_chains=32):
     print(f"wrote {out}; worst |z| {worst:.2f} worst |z_mc| {worst_mc:.2f}")
 
 
+def _flagged_fraction(t, vals, samples, burn, hmax, refactor,
+                      newton_plateau=None, n_states=192):
+    """Fraction of posterior-typical states (thinned post-burn from
+    ``samples``) whose forward solve trips the Newton-divergence
+    predicate BEFORE any escalation (escalate="off" eval) under the
+    given solver config — the np-check escalation audit."""
+    import jax.numpy as jnp
+
+    from metrotrpl_tpu.inference.likelihood import (
+        build_likelihood_plan,
+        make_eval_logll,
+    )
+
+    param_info = {
+        "names": NAMES,
+        "unit_conversions": UC,
+        "do_log": {n: 1 for n in NAMES},
+        "active": {n: int(n in ACTIVE) for n in NAMES},
+        "init_guess": {**TRUE, **START},
+        "prior_dist": {n: PRIOR.get(n, (1e-32, 1e32)) for n in NAMES},
+        "trial_move": {n: WIDTH for n in NAMES},
+    }
+    M = len(LENGTHS)
+    sim_info = {"lengths": LENGTHS, "nx": [NX] * M,
+                "meas_types": ["TRPL"] * M, "num_meas": M}
+    mcmc = {"ini_mode": "fluence", "model": "std", "log_y": 1,
+            "model_uncertainty": SIGMA, "hard_bounds": 1}
+    iniPar = np.array([[f, a, 1] for f, a in FLU])
+    e_data = ([t] * M, vals, [np.full(NT, UNC)] * M)
+    plan = build_likelihood_plan(sim_info, param_info, mcmc, e_data, iniPar,
+                                 hmax=hmax, align_outputs=False,
+                                 refactor_every=refactor,
+                                 newton_plateau=newton_plateau)
+    ev = make_eval_logll(plan, dtype=jnp.float32, escalate="off")
+
+    flat = {k: np.asarray(samples[k])[burn:].ravel() for k in ACTIVE}
+    n_avail = len(flat[ACTIVE[0]])
+    idx = np.linspace(0, n_avail - 1, n_states).astype(int)
+    full = np.array([TRUE[n] for n in NAMES])
+    C = 64
+    flagged = 0
+    for c0 in range(0, n_states, C):
+        c1 = min(c0 + C, n_states)
+        block = np.tile(full, (c1 - c0, 1))
+        for k in ACTIVE:
+            block[:, NAMES.index(k)] = flat[k][idx[c0:c1]]
+        out = ev(jnp.asarray(block, jnp.float32), jnp.asarray([1.0]))
+        flagged += int((np.asarray(out["fail_states"]) > 0).sum())
+    return flagged / n_states
+
+
 def run_np_check(t, vals, n_iters, hmax, refactor, outname, n_chains=32):
     """Mean-level agreement between the production fast sampler and the
     SAME sampler with newton_plateau=1 (single modified-Newton correction
@@ -645,6 +759,16 @@ def run_np_check(t, vals, n_iters, hmax, refactor, outname, n_chains=32):
     np1, acc_n = _cached_tpu_mh(t, vals, n_iters, hmax, refactor,
                                 n_chains=n_chains, newton_plateau=1)
     burn = n_iters // 3
+    # Escalation-rate audit (ADVICE r3): if np1's plateau residual trips
+    # the Newton predicate on posterior-typical states, the np1 chain
+    # would mostly be sampling ESCALATED full-Newton solves — certifying
+    # np1==fast while validating the wrong config, and the claimed
+    # speedup would not hold. Measure the pre-repair flag rate of each
+    # config on its own post-burn states with an escalate-free eval.
+    esc_frac = {}
+    for tag, samples, np_cfg in (("production", base, None), ("np1", np1, 1)):
+        esc_frac[tag] = _flagged_fraction(t, vals, samples, burn, hmax,
+                                          refactor, newton_plateau=np_cfg)
     lines = [
         f"# newton_plateau=1 posterior agreement — "
         f"{os.path.splitext(outname)[0]}",
@@ -682,6 +806,7 @@ def run_np_check(t, vals, n_iters, hmax, refactor, outname, n_chains=32):
             f"| {p} | {TRUE[p]:g} | 10^({mb:.4f} +/- {s_b:.4f}) "
             f"({essb:.0f}) | 10^({mn:.4f} +/- {s_n:.4f}) ({essn:.0f}) "
             f"| {z:.2f} | {z_mc:.2f} |")
+    esc_ok = esc_frac["np1"] <= max(2 * esc_frac["production"], 0.05)
     lines += [
         "",
         f"Largest |z|: **{worst:.2f}**; largest MC-error-aware |z_mc|: "
@@ -689,6 +814,16 @@ def run_np_check(t, vals, n_iters, hmax, refactor, outname, n_chains=32):
         "posterior means agree with the production config within "
         + ("their posterior uncertainty." if worst < 1 else
            "threshold EXCEEDED."),
+        "",
+        "Escalation audit (each config's own post-burn states, 192 "
+        "thinned, escalate-free eval):",
+        f"Newton-predicate flag rate production "
+        f"{esc_frac['production']:.3f}, np1 {esc_frac['np1']:.3f} — "
+        + ("np1 samples its OWN solver config, not escalated "
+           "full-Newton re-solves (PASS)." if esc_ok else
+           "WARNING: np1 flags materially more than production — the "
+           "agreement above partly validates ESCALATED solves, and the "
+           "np1 speedup will not hold at this rate."),
         "",
         "Reproduce: `python scripts/posterior_compare.py "
         f"0 {n_iters} {hmax:g} {outname} --preset {PRESET} "
@@ -749,6 +884,21 @@ def main():
         i = argv.index("--ridge")
         ridge_warm = int(argv[i + 1])
         del argv[i:i + 2]
+    tpu_ridge = 0
+    if "--tpu-ridge" in argv:
+        # --tpu-ridge N: ridge-proposal oracle with covariance from the
+        # cached N-iteration TPU run (_cached_oracle_ridge_tpu — the
+        # flagship-preset oracle; proposal choice affects mixing only)
+        i = argv.index("--tpu-ridge")
+        tpu_ridge = int(argv[i + 1])
+        del argv[i:i + 2]
+    n_chains = 8
+    if "--chains" in argv:
+        # --chains K: untempered tpu chain count (default 8; the
+        # flagship preset uses 32 for an order-of-magnitude ESS gain)
+        i = argv.index("--chains")
+        n_chains = int(argv[i + 1])
+        del argv[i:i + 2]
     gold_check = 0
     if "--gold-check" in argv:
         # --gold-check K: fast-vs-gold tpu z-test with K chains per side
@@ -789,6 +939,10 @@ def main():
         return
 
     def oracle_half():
+        if tpu_ridge:
+            return _cached_oracle_ridge_tpu(t, vals, n_oracle, tpu_ridge,
+                                            hmax, refactor,
+                                            n_chains=n_chains)
         if ridge_warm:
             return _cached_oracle_ridge(t, vals, n_oracle, ridge_warm)
         return _cached_oracle_mh(t, vals, n_oracle)
@@ -799,10 +953,11 @@ def main():
         return
     if tpu_only:
         # warm the tpu cache without touching the host-core oracle
-        _cached_tpu_mh(t, vals, n_tpu, hmax, refactor)
+        _cached_tpu_mh(t, vals, n_tpu, hmax, refactor, n_chains=n_chains)
         return
     print("running tpu MH...", flush=True)
-    tpu_samples, tpu_acc = _cached_tpu_mh(t, vals, n_tpu, hmax, refactor)
+    tpu_samples, tpu_acc = _cached_tpu_mh(t, vals, n_tpu, hmax, refactor,
+                                          n_chains=n_chains)
     print("running oracle MH...", flush=True)
     oracle_samples, oracle_acc = oracle_half()
 
@@ -825,12 +980,19 @@ def main():
         + (f" Ridge proposal: fixed Gaussian covariance estimated from a"
            f" {ridge_warm}-iteration uniform-proposal warmup chain"
            " (same posterior, faster mixing along the degenerate"
-           " Sf/Sb, Cn/Cp, mu_n/mu_p directions)." if ridge_warm else ""),
+           " Sf/Sb, Cn/Cp, mu_n/mu_p directions)." if ridge_warm else "")
+        + (f" Ridge proposal: FIXED symmetric Gaussian with covariance"
+           f" estimated from the cached {tpu_ridge}-iteration tpu run,"
+           " started at the tpu posterior mean — a fixed symmetric"
+           " proposal cannot change the chain's stationary distribution"
+           " (the exact reference-math posterior), only its mixing rate,"
+           " and the start point is burned many ESS over."
+           if tpu_ridge else ""),
         "* **tpu MH** — this framework's compiled kernel (fast solver",
         f"  mode, hmax={hmax:g}"
         + (f", chord refactor_every={refactor}" if refactor > 1
            else "")
-        + f"), 8 untempered chains x {n_tpu} "
+        + f"), {n_chains} untempered chains x {n_tpu} "
         f"iterations, burn-in "
         f"{burn_t},",
         f"  acceptance {tpu_acc:.2f}.",
@@ -880,7 +1042,9 @@ def main():
         f"{n_oracle} {n_tpu} {hmax:g} {outname}"
         + (f" --preset {PRESET}" if PRESET != "3p" else "")
         + (f" --refactor {refactor}" if refactor > 1 else "")
-        + (f" --ridge {ridge_warm}" if ridge_warm else "") + "`.",
+        + (f" --ridge {ridge_warm}" if ridge_warm else "")
+        + (f" --tpu-ridge {tpu_ridge}" if tpu_ridge else "")
+        + (f" --chains {n_chains}" if n_chains != 8 else "") + "`.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", outname)

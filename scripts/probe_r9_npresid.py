@@ -12,12 +12,14 @@ config or needs a recalibrated tolerance.
 Usage: python scripts/probe_r9_npresid.py [n_states]
 """
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/scripts")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "scripts"))
 
 import jax
 import jax.numpy as jnp
@@ -41,9 +43,9 @@ def main():
     n_states = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 
     lengths = [311.0, 2000.0] * 3
-    flu = np.loadtxt("/root/repo/Inputs/"
-                     "staub_MAPI_threepower_twothick_fluences.csv",
-                     delimiter=",")
+    flu = np.loadtxt(os.path.join(
+        _REPO, "Inputs", "staub_MAPI_threepower_twothick_fluences.csv"),
+        delimiter=",")
     t = np.linspace(0, T_END, NT)
     vals = synth_curves(lengths, flu, t)
     uncs = [np.full(NT, 0.05)] * 6
@@ -74,6 +76,10 @@ def main():
             out = jax.block_until_ready(ev(states, temps))
             r = np.asarray(out["resid"]).ravel()
             fin = np.isfinite(r)
+            if not fin.any():
+                print(f"{tag:16s} np={npl}: ALL {len(r)} resid entries "
+                      "non-finite (every solve diverged)", flush=True)
+                continue
             q = np.percentile(r[fin], [50, 90, 99, 100])
             print(f"{tag:16s} np={npl}: resid p50 {q[0]:.2e} p90 {q[1]:.2e}"
                   f" p99 {q[2]:.2e} max {q[3]:.2e}"

@@ -178,6 +178,50 @@ def test_symbolic_jacobian_matches_colored_jvp():
                     err_msg=f"{name}[{a}][{b}] mismatch")
 
 
+def test_symbolic_traps_jacobian_matches_colored_jvp():
+    """physics.models.jac_traps_planes must equal the colored-JVP
+    extraction of rhs_traps_planes to f64 roundoff — the traps model's
+    fast-path peer of the std symbolic Jacobian (VERDICT r3 weak #5)."""
+    import jax.numpy as jnp
+
+    from metrotrpl_tpu.ops.blocktridiag import p_block_tridiag_jacobian
+    from metrotrpl_tpu.physics.models import (
+        jac_traps_planes,
+        make_scaled_params,
+        rhs_traps_planes,
+    )
+
+    rng = np.random.default_rng(13)
+    B, n = 4, 16
+    raw = {"n0": 1e8 * 1e-21, "p0": 3e15 * 1e-21, "mu_n": 20e5 * 1e-9,
+           "mu_p": 25e5 * 1e-9, "ks": 4.8e-11 * 1e12 * 1e-9,
+           "Cn": 4.4e-29 * 1e33 * 1e-9, "Cp": 4.0e-29 * 1e33 * 1e-9,
+           "Sf": 10e-2 * 1e-9 * 1e7, "Sb": 20e-2 * 1e-9 * 1e7,
+           "tauN": 511.0, "tauP": 871.0, "eps": 10.0, "Tm": 300.0,
+           "kC": 3e-13 * 1e12 * 1e-9, "Nt": 1e15 * 1e-21,
+           "tauE": 120.0}
+    raw = {k: jnp.full((B, 1), v) for k, v in raw.items()}
+    dx = jnp.full((B, 1), 311.0 / n)
+    ns = jnp.full((B, 1), 1e-3)
+    p = make_scaled_params(raw, dx, ns)
+
+    y = tuple(jnp.asarray(rng.uniform(lo, hi, (B, n)))
+              for lo, hi in ((0.01, 1.0),       # dN
+                             (0.0, 0.5),        # Ntrap
+                             (-1e-2, 1e-2),     # dD (large when trapping)
+                             (-1e-3, 1e-3)))    # E
+    rhs = lambda yy: rhs_traps_planes(yy, p)
+    L_j, D_j, U_j = p_block_tridiag_jacobian(rhs, y)
+    L_s, D_s, U_s = jac_traps_planes(y, p)
+    for name, A, Bm in (("L", L_j, L_s), ("D", D_j, D_s), ("U", U_j, U_s)):
+        for a in range(4):
+            for b in range(4):
+                np.testing.assert_allclose(
+                    np.asarray(A[a][b]), np.asarray(Bm[a][b]),
+                    rtol=1e-9, atol=1e-12,
+                    err_msg=f"{name}[{a}][{b}] mismatch")
+
+
 def test_solve_with_symbolic_jacobian_matches_jvp_path():
     """Full batched solve: planes path using the symbolic Jacobian must
     reproduce the colored-JVP path (identical Newton matrices -> identical

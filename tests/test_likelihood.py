@@ -441,9 +441,10 @@ def test_mu_constraint_requires_log_mobilities():
         build_move_plan(pi, {})
 
 
-def test_newton_divergence_predicate_wiring(monkeypatch):
+def test_newton_divergence_predicate_wiring():
     """The dynamic Newton-convergence predicate (NEWTON_DIV_TOL,
-    docs/TPU_NOTES.md round-8) feeds the solver-failure decision: with an
+    docs/TPU_NOTES.md round-8) feeds the solver-failure decision through
+    the per-plan ``newton_div_tol`` knob (VERDICT r3 weak #4): with an
     impossible threshold every row flags (and, surviving escalation,
     concedes -inf); with the calibrated default a healthy solve passes
     untouched and reports its residual diagnostic."""
@@ -452,17 +453,43 @@ def test_newton_divergence_predicate_wiring(monkeypatch):
     sim_info, mcmc, e_data, iniPar = _synth()
     pi = _param_info()
     plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
+    assert plan.newton_div_tol == L.NEWTON_DIV_TOL
 
     out = make_eval_logll(plan)(_state(pi), jnp.asarray([1.0]))
     assert np.isfinite(float(out["logll_T"][0, 0]))
     assert out["resid"].shape == (1, 1)
     r = float(out["resid"][0, 0])
-    assert 0 <= r < L.NEWTON_DIV_TOL
+    assert 0 <= r < plan.newton_div_tol
     assert int(out["n_solver_fail"]) == 0
 
     # impossible threshold: resid >= 0 always flags; the escalated
     # re-solve can't pass it either, so the row concedes -inf
-    monkeypatch.setattr(L, "NEWTON_DIV_TOL", -1.0)
-    out2 = make_eval_logll(plan)(_state(pi), jnp.asarray([1.0]))
+    plan_neg = plan._replace(newton_div_tol=-1.0)
+    out2 = make_eval_logll(plan_neg)(_state(pi), jnp.asarray([1.0]))
     assert float(out2["logll_T"][0, 0]) == -np.inf
     assert int(out2["n_solver_fail"]) == 1
+
+    # the MCMC_fields config key reaches the plan (script/TOML knob)
+    plan_cfg = build_likelihood_plan(
+        sim_info, pi, dict(mcmc, newton_div_tol=0.5), e_data, iniPar)
+    assert plan_cfg.newton_div_tol == 0.5
+
+
+def test_fail_states_per_state_counts():
+    """fail_states reports diverged solves PER STATE so multi-ensemble
+    drivers can escalate at per-ensemble granularity (VERDICT r3 weak
+    #3): a batch mixing a healthy state with a poisoned one counts only
+    the poisoned row."""
+    import jax
+
+    sim_info, mcmc, e_data, iniPar = _synth()
+    pi = _param_info()
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
+
+    states = jnp.concatenate([
+        _state(pi), _state(pi, tauN=np.nan), _state(pi, tauN=480.0)])
+    out = jax.jit(make_eval_logll(plan, escalate="off"))(
+        states, jnp.asarray([1.0]))
+    np.testing.assert_array_equal(np.asarray(out["fail_states"]),
+                                  [0, 1, 0])
+    assert int(out["n_solver_fail"]) == 1
