@@ -27,15 +27,53 @@ from metrotrpl_tpu.constants import NEGATIVE_FRAC_TOL
 #: predicate: a solve whose max |last Newton update| (in the O(1)-rescaled
 #: state, over the row's real output window) exceeds this is treated as
 #: diverged even when its output stays finite and above the underflow
-#: clamp. Calibration (scripts/probe_r8_resid.py on 64 collapse-region
-#: grid + 192 wide +/-0.3-dex ball states, docs/TPU_NOTES.md round-8):
-#: at 1e-2 every broken row (|dll vs gold| > 20) is flagged — 0 false
-#: negatives, broken resid min 2.0e-2 — while posterior-typical solves
-#: sit at <= ~1e-5. The bands do overlap for far-off-truth states
-#: (healthy wide-ball resid reaches 0.47), so ~half of those escalate
-#: spuriously; that errs in the SAFE direction — the refined re-solve
-#: repairs them and only rows that still fail it concede -inf.
-NEWTON_DIV_TOL = 1e-2
+#: clamp. The healthy-residual floor is GRID-DEPENDENT (stiffer fine
+#: grids run modified Newton with larger converged updates), so the
+#: default is nx-aware (resolve via newton_div_tol_default); this module
+#: constant is the coarse-grid value. Round-10 calibration
+#: (scripts/probe_r12_ladder.py, docs/TPU_NOTES.md round-10, both with
+#: trust-region-damped Newton — genuine divergences pin at the
+#: solver.sdirk.NEWTON_DAMP cap 2.0 and always flag):
+#: * nx<=64 (calibrated at 32): tol 0.1 — +/-0.3-dex ball FP 0/28
+#:   (the round-8 value 1e-2 flagged 15/28 healthy ball rows, which made
+#:   tempered hot chains fire the escalated re-solve ~every iteration
+#:   and cost 14x production throughput, BENCH r4); catches every
+#:   typical-zone partial collapse (broken-at-typical min resid 0.159);
+#:   missed rows sit at ll <= ~-1700, unreachable at any ladder
+#:   temperature, with |dll| << |ll| either way.
+#: * nx>=96 (calibrated at 128): tol 1.0 — the healthy floor at walked
+#:   tempered states reaches 0.57 (those rows are ACCURATE: |dll| vs
+#:   gold <= 0.055) so 0.1 flags chronically, while every observed
+#:   nx=128 collapse either NaNs/clamps (static predicate) or pins at
+#:   the 2.0 damping cap. No finite sub-cap broken row was observed at
+#:   nx=128 (scripts/probe_r13_hotflags.py).
+NEWTON_DIV_TOL = 0.1
+
+
+def newton_div_tol_default(nx_max):
+    """nx-aware default for the Newton-divergence threshold (see
+    NEWTON_DIV_TOL calibration note)."""
+    return 1.0 if nx_max >= 96 else (NEWTON_DIV_TOL if nx_max <= 64
+                                     else 0.3)
+
+#: Escalation GATE: a Newton-flagged row is repaired (escalated re-solve)
+#: only when its fast solve's mean squared log10 distance to the data is
+#: below this [decades^2] — i.e. the state is anywhere near
+#: accept/swap-relevance. Flagged rows with hopeless fits keep their
+#: finite fast-mode ll (measured suppress-only, docs/LL_AGREEMENT_r05.md)
+#: instead of firing the ~6x escalated solve: tempered hot chains live
+#: exactly in that far-off regime and otherwise trip the repair on
+#: ~every iteration (BENCH r4: 2880 -> 210..410 walker-steps/s). The
+#: gate is a deterministic function of the state, so every chain's
+#: target density stays well-defined and consistently used — the cold
+#: chain's target is exact wherever it can reach: at cut=0.25 the gate
+#: only disables repair for states whose T=1 log-likelihood is >=
+#: 0.25 * n_pts / (sigma^2 + 2 u^2) below a perfect fit (tens of
+#: thousands of log-units for every shipped workload), while the
+#: posterior-typical set sits at score ~ u^2 ~ 1e-3. Static failures
+#: (non-finite / underflow-clamped output) still concede -inf outside
+#: the gate — there is no usable ll to keep.
+ESCALATE_GATE_SCORE = 0.25
 from metrotrpl_tpu.ops.convolve import convolve_moments
 from metrotrpl_tpu.ops.interp import interp1d
 from metrotrpl_tpu.physics.models import beer_lambert
@@ -102,6 +140,8 @@ class LikelihoodPlan(NamedTuple):
     #: calibration); configurable per plan/config since the O(1)-rescaled
     #: residual scale is workload-dependent (VERDICT r3 weak #4)
     newton_div_tol: float = NEWTON_DIV_TOL
+    #: escalation-gate fit-distance cut (see ESCALATE_GATE_SCORE)
+    esc_gate_score: float = ESCALATE_GATE_SCORE
 
 
 def _fittable_index_map(spec, n_meas, param_idx, base):
@@ -276,15 +316,32 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
             # WHOLE fast-mode envelope, not just the chord: measured on
             # the full-preset posterior typical set, the failing states
             # (moderate mu_n x high mu_p) collapse at hmax=48 under
-            # EVERY Newton/refactor/refine variant — per-step factors,
-            # full Newton, and a 2x-refined grid all stay at the
-            # underflow clamp — while hmax=4 reproduces the f64 oracle
-            # ll to 4 digits at 15/16 of them (docs/LL_AGREEMENT_r05.md).
-            # So the escalated plan caps hmax at the validated default
-            # (4 ns) AND refines 2x AND runs chord-free. It only ever
-            # runs for failed rows, so its per-step cost is irrelevant.
+            # EVERY Newton/refactor/refine variant, while hmax=4
+            # chord-free reproduces the f64 oracle ll to 4 digits at
+            # 15/16 of them (docs/LL_AGREEMENT_r05.md). Rung cost
+            # matters in production: tempered hot chains fire it
+            # persistently, so the rung is h<=4/chord-free at the BASE
+            # refine (~6x a fast solve; round-10 repair quality at
+            # flagged rows |dll| p50 0.056 / p90 0.24 vs gold —
+            # scripts/probe_r12_ladder.py; the old refine-2x rung
+            # (~12x) bought p50 0.056 -> 0.04-ish and 3/192 extra
+            # rescues, at double the always-on burn-in cost).
+            # rung hmax is nx-aware like the predicate default: at
+            # nx>=96 the h16 chord-free rung matches gold to |dll| <=
+            # 0.015 at walked tempered states (probe_r13) at ~2.6x a
+            # fast solve instead of h4's ~7x — and tempered chains
+            # legitimately CAMP on repair-needing states, so the rung
+            # price is paid near-continuously (round-10); at coarse nx
+            # the h16 rung repairs poorly (probe_r12) and h4 stays.
+            esc_hm = min(hm, 4.0 if nx_val <= 64 else 16.0)
+            # if the base plan is ALREADY the rung config (reference
+            # mode), dropping the envelope changes nothing — refine 2x
+            # so the retry is a genuinely different solve
+            esc_refine = (refine if (hm > esc_hm or refactor_every > 1
+                                     or ramp_block > 1 or newton_plateau)
+                          else refine * 2)
             fwd.append((idx, _mk(refine),
-                        _mk(refine * 2, chord=False, hm_x=min(hm, 4.0))
+                        _mk(esc_refine, chord=False, hm_x=esc_hm)
                         if escalate else None))
         fwd = tuple(fwd)
 
@@ -371,10 +428,14 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
         nn=nn,
         thickness=np.asarray(sim_info["lengths"], dtype=float),
         # config knob (`newton_div_tol:` MCMC flag / TOML [solver] key)
-        # with the calibrated module default
+        # with the calibrated nx-aware default
         newton_div_tol=float(
             newton_div_tol if newton_div_tol is not None
-            else MCMC_fields.get("newton_div_tol", NEWTON_DIV_TOL)),
+            else MCMC_fields.get(
+                "newton_div_tol",
+                newton_div_tol_default(max(int(n) for n in sim_info["nx"])))),
+        esc_gate_score=float(
+            MCMC_fields.get("escalate_gate_score", ESCALATE_GATE_SCORE)),
     )
 
 
@@ -540,7 +601,8 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
             return {"logll_T": ll, "per_meas": ll[:, None, :],
                     "n_solver_fail": jnp.zeros((), jnp.int32),
                     "fail_states": jnp.zeros((states.shape[0],), jnp.int32),
-                    "resid": jnp.zeros((states.shape[0], 1), ll.dtype)}
+                    "resid": jnp.zeros((states.shape[0], 1), ll.dtype),
+                    "esc_score": jnp.zeros((states.shape[0], 1), ll.dtype)}
         return eval_pa
 
     if plan.kind == "nn":
@@ -551,6 +613,7 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
     init_profiles = jnp.asarray(plan.init_profiles, dtype)
     compare = _make_compare_pipeline(plan, dtype)
     newton_div_tol = float(getattr(plan, "newton_div_tol", NEWTON_DIV_TOL))
+    esc_gate = float(getattr(plan, "esc_gate_score", ESCALATE_GATE_SCORE))
 
     model = groups[0][1].model
 
@@ -567,6 +630,7 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
         # ---- one forward solve per nx-group; scatter into (K, M, nt) ----
         sol_full = jnp.zeros((K, M, nt_exp), dtype)
         resid_full = jnp.zeros((K, M), dtype)
+        score_full = jnp.zeros((K, M), dtype)
         n_solver_fail = jnp.zeros((), jnp.int32)
         fail_states = jnp.zeros((K,), jnp.int32)
         for g_idx, fp, fp_hi in groups:
@@ -613,9 +677,10 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
                     with_diag=True)  # ((K*Mg, nt_g), (K*Mg,))
 
             sol_g, resid_g = run_solve(fp)
+            floor = 4 * np.finfo(np.dtype(sol_g.dtype)).tiny
 
-            def failed(sol, resid):
-                # a failed solve is non-finite, OR pinned at the solver's
+            def fail_static(sol):
+                # unusable output: non-finite, OR pinned at the solver's
                 # underflow clamp (solve_forward_batch holds everything
                 # past the first sub-tiny dip at min_y=tiny): no physical
                 # TRPL/TRTS signal spans the ~38 decades down to f32 tiny
@@ -624,44 +689,76 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
                 # mu ~ 30-70 off-truth states: the stale-factor Newton
                 # diverges DOWNWARD, leaving a finite but astronomically
                 # wrong ll that the non-finite test alone never catches —
-                # docs/TPU_NOTES.md round-7), OR — the dynamic predicate —
-                # a Newton iteration that never converged (resid =
-                # max |last Newton update| over the row's real window,
-                # solve_forward_batch with_diag): this catches the PARTIAL
-                # collapses that stay above the clamp yet are decades off
-                # the f64 oracle (round-8). ~(x < tol) instead of x >= tol
-                # so a NaN resid also flags.
-                floor = 4 * np.finfo(np.dtype(sol.dtype)).tiny
+                # docs/TPU_NOTES.md round-7)
                 return (~jnp.all(jnp.isfinite(sol), axis=-1)
-                        | jnp.any(sol <= floor, axis=-1)
-                        | ~(resid < newton_div_tol))
+                        | jnp.any(sol <= floor, axis=-1))
 
-            bad = failed(sol_g, resid_g)                      # (K*Mg,)
+            def fail_resid(resid):
+                # the dynamic predicate: a Newton iteration that never
+                # converged (resid = max |last Newton update| over the
+                # row's real window, solve_forward_batch with_diag)
+                # catches the PARTIAL collapses that stay above the clamp
+                # yet are decades off the f64 oracle (round-8). ~(x < tol)
+                # instead of x >= tol so a NaN resid also flags.
+                return ~(resid < newton_div_tol)
+
+            # deterministic escalation GATE (ESCALATE_GATE_SCORE doc):
+            # mean squared log10 distance of the fast solve to the data,
+            # over valid NON-COLLAPSED points only — a collapse victim's
+            # pre-collapse points score its true fit (so typical-zone
+            # collapse rows stay repairable) while a hopeless-fit hot
+            # state scores hopeless from its surviving points too.
+            # Log-space data only; linear-y configs gate everything in.
+            if plan.log_y:
+                nt_g = sol_g.shape[-1]
+                v = tile_g(jnp.asarray(plan.exp_vals[g_idx][:, :nt_g],
+                                       dtype))
+                mk = tile_g(jnp.asarray(plan.exp_mask[g_idx][:, :nt_g]))
+                ok_pt = mk & jnp.isfinite(sol_g) & (sol_g > 10 * floor)
+                ls = jnp.log10(jnp.maximum(jnp.abs(sol_g), floor))
+                err2g = jnp.where(ok_pt, (ls - v) ** 2, 0.0)
+                score = (jnp.sum(err2g, axis=-1)
+                         / jnp.maximum(jnp.sum(ok_pt, axis=-1), 1))
+                gate = score < esc_gate
+            else:
+                score = jnp.zeros(sol_g.shape[:1], dtype)
+                gate = jnp.ones(sol_g.shape[:1], bool)
+            score_full = score_full.at[:, g_idx].set(
+                score.reshape(K, Mg))
+
+            bad = fail_static(sol_g) | fail_resid(resid_g)    # (K*Mg,)
+            repair = bad & gate
             if fp_hi is not None and escalate == "inline":
                 # solver-failure escalation (reference converge_simulation,
-                # trial_move_evaluation.py:168-210): rows whose base solve
-                # diverged (non-finite) are re-solved on a 2x-refined step
-                # grid before conceding -inf. lax.cond skips the refined
-                # solve entirely when every row is healthy (but costs ~10 ms
-                # of control-flow overhead per call on TPU — see docstring).
+                # trial_move_evaluation.py:168-210): gated rows whose base
+                # solve diverged are re-solved on the escalated plan
+                # before conceding -inf. lax.cond skips the escalated
+                # solve entirely when no row needs repair (but costs
+                # ~10 ms of control-flow overhead per call on TPU).
                 sol_hi, resid_hi = jax.lax.cond(
-                    jnp.any(bad),
+                    jnp.any(repair),
                     lambda _: run_solve(fp_hi),
                     lambda _: (sol_g, resid_g),
                     None)
-                sol_g = jnp.where(bad[:, None], sol_hi, sol_g)
-                resid_g = jnp.where(bad, resid_hi, resid_g)
-                bad = failed(sol_g, resid_g)                  # post-repair
-            # concede -inf for rows that remain failed (reference
-            # trial_move_evaluation.py:70-72,163-166): without this, a
-            # clamp-collapsed row keeps its finite-but-astronomical ll
-            # (~-7e7), which behaves like -inf under MH acceptance but
-            # poisons any consumer that reads the ll itself (resume
-            # carry, ll-agreement artifacts, logs)
-            sol_g = jnp.where(bad[:, None], jnp.nan, sol_g)
-            n_solver_fail = n_solver_fail + jnp.sum(bad, dtype=jnp.int32)
+                sol_g = jnp.where(repair[:, None], sol_hi, sol_g)
+                resid_g = jnp.where(repair, resid_hi, resid_g)
+            # concessions (-inf): unusable output always; Newton-flagged
+            # rows only INSIDE the gate (outside it the finite fast ll
+            # stands — the deterministic deformed-tail semantics of the
+            # gate doc). Without the nan-out, a clamp-collapsed row keeps
+            # its finite-but-astronomical ll (~-7e7), which behaves like
+            # -inf under MH acceptance but poisons any consumer that
+            # reads the ll itself (resume carry, artifacts, logs).
+            concede = fail_static(sol_g) | (fail_resid(resid_g) & gate)
+            sol_g = jnp.where(concede[:, None], jnp.nan, sol_g)
+            # the failure COUNTERS drive deferred escalation re-runs, so
+            # they count only REPAIRABLE failures (gated): hopeless-fit
+            # tail concessions are intentional -inf, not retry material
+            nfail_g = concede & gate
+            n_solver_fail = n_solver_fail + jnp.sum(nfail_g,
+                                                    dtype=jnp.int32)
             fail_states = fail_states + jnp.sum(
-                bad.reshape(K, Mg), axis=1, dtype=jnp.int32)
+                nfail_g.reshape(K, Mg), axis=1, dtype=jnp.int32)
             sol_g = sol_g.reshape(K, Mg, -1)
             if sol_g.shape[-1] < nt_exp:
                 sol_g = jnp.pad(
@@ -678,7 +775,7 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
         per_meas = ll.reshape(K, M, -1)
         return {"logll_T": jnp.sum(per_meas, axis=1), "per_meas": per_meas,
                 "n_solver_fail": n_solver_fail, "fail_states": fail_states,
-                "resid": resid_full}
+                "resid": resid_full, "esc_score": score_full}
 
     if eval_chunk is None:
         return eval_logll
@@ -706,7 +803,9 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
                 "n_solver_fail": fail_states.sum(dtype=jnp.int32),
                 "fail_states": fail_states,
                 "resid": out["resid"].reshape(
-                    (Kp,) + out["resid"].shape[2:])[:K]}
+                    (Kp,) + out["resid"].shape[2:])[:K],
+                "esc_score": out["esc_score"].reshape(
+                    (Kp,) + out["esc_score"].shape[2:])[:K]}
 
     return eval_chunked
 
@@ -766,6 +865,7 @@ def _make_eval_nn(plan, dtype):
         return {"logll_T": jnp.sum(per_meas, axis=1), "per_meas": per_meas,
                 "n_solver_fail": jnp.zeros((), jnp.int32),
                 "fail_states": jnp.zeros((K,), jnp.int32),
-                "resid": jnp.zeros((K, M), ll.dtype)}
+                "resid": jnp.zeros((K, M), ll.dtype),
+                "esc_score": jnp.zeros((K, M), ll.dtype)}
 
     return eval_nn

@@ -258,6 +258,8 @@ def run_mh_fused(ensembles, like_plan, move_plan, logger, seeds,
     base_kernel = _build("inline" if escalate == "inline" else "off")
     kernel = vmap_ensembles(base_kernel)
     safe_kernel = None  # built on first escalation (single-ensemble inline)
+    esc_streak = 0      # consecutive windows that needed escalation
+    inline_mode = escalate == "inline"
 
     carried = (None if need_initial_state
                else _restore_carried_ll(ensembles, K))
@@ -284,7 +286,7 @@ def run_mh_fused(ensembles, like_plan, move_plan, logger, seeds,
         states_E, ll_E, swap_att, swap_acc, nfail, hist = out
         jax.block_until_ready(states_E)
         nfail_h = np.asarray(nfail)
-        if nfail_h.any() and escalate is True:
+        if nfail_h.any() and escalate is True and not inline_mode:
             # deferred escalation, per failing ensemble: re-run its window
             # from the SAME entry state/key through the single-ensemble
             # inline-retry kernel (bit-identical semantics — the vmapped
@@ -313,6 +315,20 @@ def run_mh_fused(ensembles, like_plan, move_plan, logger, seeds,
                 outs[e] = fix
             out = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
             states_E, ll_E, swap_att, swap_acc, nfail, hist = out
+            esc_streak += 1
+            if esc_streak >= 3:
+                # persistent escalation across windows (tempered hot
+                # chains): a fused INLINE kernel beats E serial deferred
+                # re-runs — under vmap the escalation cond lowers to a
+                # batched select (both branches run), which is exactly
+                # right when it would fire every window anyway
+                logger.info(
+                    "3 consecutive windows needed escalation; switching "
+                    "to the fused inline-escalation kernel")
+                kernel = vmap_ensembles(_build("inline"))
+                inline_mode = True
+        else:
+            esc_streak = 0
         dt_win = perf_counter() - t_win
         logger.info(
             f"Window of {n_this} iters x {E} ensembles took {dt_win:.3f} s "
@@ -421,6 +437,8 @@ def run_mh_sharded(ensembles, like_plan, move_plan, logger, seed,
 
     kernel = _build("inline" if escalate == "inline" else "off")
     safe_kernel = kernel if escalate == "inline" else None
+    esc_streak = 0      # consecutive windows that needed escalation
+    inline_mode = escalate == "inline"
     states_E = jax.device_put(states_E, kernel.state_sharding)
 
     carried = (None if need_initial_state
@@ -461,7 +479,7 @@ def run_mh_sharded(ensembles, like_plan, move_plan, logger, seed,
         # history: (window, E, K, ...) gathered to host once per window
         h_states, h_ll, h_accept = (np.asarray(h) for h in hist)
         ll_host = np.asarray(ll_E)
-        if nfail_h.any() and escalate is True:
+        if nfail_h.any() and escalate is True and not inline_mode:
             # deferred escalation at PER-ENSEMBLE granularity (the fused
             # driver's contract): only ensembles that reported diverged
             # solves re-run, each from its SAME entry state/key through
@@ -516,6 +534,18 @@ def run_mh_sharded(ensembles, like_plan, move_plan, logger, seed,
             ll_E = jax.device_put(jnp.asarray(ll_host, dtype),
                                   kernel.state_sharding)
             swap_att, swap_acc = att_h, acc_h
+            esc_streak += 1
+            if esc_streak >= 3:
+                # persistent escalation (tempered hot chains): run the
+                # whole mesh through the inline-escalation shard_map
+                # kernel instead of serial per-ensemble re-runs
+                logger.info(
+                    "3 consecutive windows needed escalation; switching "
+                    "to the inline-escalation sharded kernel")
+                kernel = _build("inline")
+                inline_mode = True
+        else:
+            esc_streak = 0
         dt_win = perf_counter() - t_win
         logger.info(
             f"Window of {n_this} iters x {E} ensembles took {dt_win:.3f} s "
@@ -624,6 +654,7 @@ def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
 
     kernel = _build("inline" if escalate == "inline" else "off")
     safe_kernel = kernel if escalate == "inline" else None
+    esc_streak = 0   # consecutive windows that needed an escalation re-run
 
     carried = (None if need_initial_state
                else _restore_carried_ll([ensemble], K))
@@ -655,7 +686,7 @@ def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
                                     n_this)
         states, ll_T, swap_att, swap_acc, nfail, hist = out
         jax.block_until_ready(states)
-        if int(nfail) and escalate is True:
+        if int(nfail) and escalate is True and kernel is not safe_kernel:
             # deferred escalation: the window saw diverged solves (rejected
             # as -inf). Re-run it from the SAME entry state/keys through
             # the inline-retry kernel — a pure function of (state, ll, k,
@@ -674,6 +705,18 @@ def run_mh(ensemble, like_plan, move_plan, logger, seed=235817049752375780,
                 logger.warning(
                     f"{int(nfail)} solves still diverged on the refined "
                     "grid (rejected as -inf)")
+            esc_streak += 1
+            if esc_streak >= 3:
+                # persistent escalation (typical of tempered runs: hot
+                # chains roam states that keep tripping the Newton
+                # predicate) — stop double-running windows and use the
+                # inline-retry kernel directly from here on
+                logger.info(
+                    "3 consecutive windows needed escalation; switching "
+                    "to the inline-escalation kernel for the remainder")
+                kernel = safe_kernel
+        else:
+            esc_streak = 0
         logger.info(
             f"Window of {n_this} iters took {perf_counter() - t_win:.3f} s "
             f"({n_this * K / max(perf_counter() - t_win, 1e-9):.1f} "

@@ -135,8 +135,19 @@ def _fluxes(dN, dD, E, p):
     Ntot = p.n0t + dN
     Ptot = p.p0t + dP
 
-    s_front = p.sf * M[..., :1] / (Ntot[..., :1] + Ptot[..., :1])
-    s_back = p.sb * M[..., -1:] / (Ntot[..., -1:] + Ptot[..., -1:])
+    # Surface-recombination denominator floored away from 0: physically
+    # N + P > 0 strictly, but an f32 transient undershoot can cross it,
+    # and 1/0 -> inf poisons the whole solve with NaNs (measured at
+    # nx=128: ~half of +/-0.05-dex states NaN'd through this and the
+    # SRH denominator, docs/TPU_NOTES.md round-10). The floor only
+    # engages in the already-unphysical regime (healthy scaled N+P is
+    # O(1)), where the negative-fraction tolerance / clamp predicates
+    # decide the row's fate — identical math everywhere else.
+    def _pos(x):
+        return jnp.maximum(x, 1e-9)
+
+    s_front = p.sf * M[..., :1] / _pos(Ntot[..., :1] + Ptot[..., :1])
+    s_back = p.sb * M[..., -1:] / _pos(Ntot[..., -1:] + Ptot[..., -1:])
 
     E_int = E[..., :-1]
     Ne = 0.5 * (Ntot[..., :-1] + Ntot[..., 1:])
@@ -159,9 +170,13 @@ def _fluxes(dN, dD, E, p):
 
 
 def _bulk_recombination(M, Ntot, Ptot, p):
-    """Scaled Auger + radiative + SRH recombination rate R/ns."""
+    """Scaled Auger + radiative + SRH recombination rate R/ns.
+
+    The SRH denominator is floored like the surface one (_fluxes _pos
+    note): physically positive, floored only against f32 transient
+    undershoot NaNs."""
     rate = (p.cn_s * Ntot + p.cp_s * Ptot + p.ks_s
-            + 1.0 / (p.tauN * Ptot + p.tauP * Ntot))
+            + 1.0 / jnp.maximum(p.tauN * Ptot + p.tauP * Ntot, 1e-9))
     return rate * M
 
 
@@ -304,7 +319,10 @@ def jac_std_planes(y, p):
     Ntot = p.n0t + dN
     Ptot = p.p0t + dP
     M = _excess_product(dN, dP, p)
-    q = p.tauN * Ptot + p.tauP * Ntot
+    # denominators floored exactly like the RHS (_fluxes /
+    # _bulk_recombination _pos note) so the Jacobian stays finite in the
+    # f32-undershoot regime the floors protect against
+    q = jnp.maximum(p.tauN * Ptot + p.tauP * Ntot, 1e-9)
     inv_q2 = 1.0 / (q * q)
     rate = p.cn_s * Ntot + p.cp_s * Ptot + p.ks_s + 1.0 / q
     dR_dN = rate * (Ntot + Ptot) + M * (p.cn_s + p.cp_s
@@ -312,7 +330,7 @@ def jac_std_planes(y, p):
     dR_dD = rate * Ntot + M * (p.cp_s - p.tauN * inv_q2)
 
     # surface-recombination derivatives (meaningful at cells 0 / n-1 only)
-    S = Ntot + Ptot
+    S = jnp.maximum(Ntot + Ptot, 1e-9)
     inv_S = 1.0 / S
     s_dN = 1.0 - 2.0 * M * inv_S * inv_S      # d(M/S)/ddN
     s_dD = (Ntot - M * inv_S) * inv_S         # d(M/S)/ddD

@@ -117,6 +117,28 @@ def sdirk_factors(rhs, y, h, scheme, jac=None):
     return tuple(alphas), tuple(betas), Dinv
 
 
+#: Streamed Newton-convergence diagnostic definition (read at TRACE time
+#: by sdirk_stages; both the XLA scan and the Pallas kernel trace through
+#: it): "last" = max |last Newton update| (the round-8 definition).
+#: A contraction-extrapolated estimate q = |u_k| rho/(1-rho) ("qest") was
+#: measured and REJECTED (scripts/probe_r11_predicate.py, round-10):
+#: healthy far-off-truth states run the chord Newton NON-contracting
+#: (q ~ 1e3+) while producing accurate observables, so convergence-rate
+#: evidence cannot separate them from genuine collapses.
+RESID_MODE = "last"
+
+#: Damped (trust-region) Newton: each modified-Newton update is scaled so
+#: its per-row max-norm never exceeds this cap (state is O(1)-rescaled;
+#: healthy updates measured <= ~0.6 even far off-truth, while divergence
+#: blows through O(1) on its way to inf/NaN — docs/TPU_NOTES.md
+#: round-10). Damping preserves the update direction, cannot affect any
+#: converging iteration (the cap never engages below it), and turns
+#: would-be NaN explosions into finite steps that either re-converge on
+#: later iterations/steps (L-stable scheme) or get flagged by the
+#: residual/clamp predicates. None disables.
+NEWTON_DAMP = 2.0
+
+
 def _maxabs_update(d, planes):
     """Per-row max |d| of a Newton update: reduce each plane over its grid
     axis (planes layout, (..., n)) or the (C, n) trailing axes (stacked).
@@ -168,13 +190,32 @@ def sdirk_stages(rhs, y, h, scheme, factors, newton_iters=2,
             continue
         # Solve Y = acc + h*gamma*f(Y) by modified Newton.
         Y = acc
+        upd = []                 # per-iteration max |update| (diagnostic)
         for _ in range(newton_iters):
             G = tmap(lambda Yi, ri, ai: Yi - hb * gamma * ri - ai,
                      Y, rhs(Y), acc)
             d = pcr_apply(factors, G)
+            if NEWTON_DAMP is not None:
+                # trust-region damping (NEWTON_DAMP doc): scale the whole
+                # row's update so max |d| <= cap; identity for any
+                # converging iteration, NaN-proofs the diverging ones
+                dmax = _maxabs_update(d, planes)
+                s = jnp.minimum(1.0, NEWTON_DAMP
+                                / jnp.maximum(dmax, NEWTON_DAMP))
+                sb = s[..., None] if planes else s[..., None, None]
+                d = tmap(lambda di: sb * di, d)
             Y = tmap(lambda Yi, di: Yi - di, Y, d)
+            if with_resid:
+                upd.append(_maxabs_update(d, planes))
         if with_resid:
-            r = _maxabs_update(d, planes)
+            if RESID_MODE == "qest" and len(upd) >= 2:
+                # rejected experiment hook (module docstring) — kept only
+                # so the probe can re-measure; never the default
+                rho = upd[-1] / jnp.maximum(upd[-2], 1e-30)
+                q = upd[-1] * rho / jnp.maximum(1.0 - rho, 1e-6)
+                r = jnp.where(upd[-1] < 1e-4, upd[-1], q)
+            else:
+                r = upd[-1]
             resid = r if resid is None else jnp.maximum(resid, r)
         fs.append(tmap(lambda Yi, ai: (Yi - ai) / (hb * gamma), Y, acc))
     if with_resid:

@@ -309,8 +309,13 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0, refactor=1,
 #: validated default + refine x2 chord-free, and still-failed rows
 #: concede -inf; rev 3: dynamic Newton-convergence failure predicate —
 #: partial collapses above the underflow clamp now escalate too,
-#: inference/likelihood.py NEWTON_DIV_TOL)
-TPU_SAMPLER_REV = 3
+#: inference/likelihood.py NEWTON_DIV_TOL; rev 4: round-10 solver
+#: robustness + escalation redesign — trust-region-damped Newton
+#: (solver.sdirk.NEWTON_DAMP), nx-aware NEWTON_DIV_TOL default
+#: (0.1 at nx<=64, 1.0 at nx>=96), nx-aware escalation rung
+#: (h<=4 / h<=16, chord-free, base refine), and the deterministic
+#: fit-score escalation gate, docs/TPU_NOTES.md round-10)
+TPU_SAMPLER_REV = 4
 
 
 def _cached_tpu_mh(t, vals, n_iters, hmax, refactor, refine=1, n_chains=8,
@@ -419,7 +424,7 @@ def _cached_oracle_ridge(t, vals, n_iters, warm_n):
 
 
 def _cached_oracle_ridge_tpu(t, vals, n_iters, tpu_n, hmax, refactor,
-                             n_chains=8):
+                             n_chains=8, scale=1.0):
     """Ridge-proposal oracle whose proposal covariance comes from the
     cached TPU chains instead of a CPU warmup chain (the flagship-preset
     oracle: a uniform-proposal warmup long enough to estimate a 10-d
@@ -443,7 +448,11 @@ def _cached_oracle_ridge_tpu(t, vals, n_iters, tpu_n, hmax, refactor,
     burn = tpu_n // 3
     X = np.log10(np.stack(
         [np.asarray(tpu_s[k])[burn:].ravel() for k in ACTIVE], axis=1))
-    cov = np.cov(X.T) * (2.38 ** 2 / len(ACTIVE))
+    # scale < 1 shrinks the proposal (acceptance tuning: the flagship
+    # ridge is longer than the local posterior curvature, so the raw
+    # 2.38^2/d optimal-Gaussian scale over-steps once the chain enters
+    # a narrow ridge section — measured acceptance 0.04)
+    cov = np.cov(X.T) * (2.38 ** 2 / len(ACTIVE)) * scale ** 2
     start = {k: float(10 ** X[:, j].mean())
              for j, k in enumerate(ACTIVE)}
 
@@ -892,6 +901,13 @@ def main():
         i = argv.index("--tpu-ridge")
         tpu_ridge = int(argv[i + 1])
         del argv[i:i + 2]
+    ridge_scale = 1.0
+    if "--ridge-scale" in argv:
+        # --ridge-scale S: shrink the tpu-cov proposal by S (acceptance
+        # tuning; stationary distribution unchanged)
+        i = argv.index("--ridge-scale")
+        ridge_scale = float(argv[i + 1])
+        del argv[i:i + 2]
     n_chains = 8
     if "--chains" in argv:
         # --chains K: untempered tpu chain count (default 8; the
@@ -942,7 +958,8 @@ def main():
         if tpu_ridge:
             return _cached_oracle_ridge_tpu(t, vals, n_oracle, tpu_ridge,
                                             hmax, refactor,
-                                            n_chains=n_chains)
+                                            n_chains=n_chains,
+                                            scale=ridge_scale)
         if ridge_warm:
             return _cached_oracle_ridge(t, vals, n_oracle, ridge_warm)
         return _cached_oracle_mh(t, vals, n_oracle)
@@ -1003,9 +1020,32 @@ def main():
     ]
     worst = 0.0
     worst_mc = 0.0
-    for p in ACTIVE:
-        so = oracle_samples[p][burn_o:]
-        st = tpu_samples[p][burn_t:]
+    # identifiable combinations: multi-thickness/fluence TRPL constrains
+    # these tightly while the individual splits (mu_n|mu_p, Sf|Sb,
+    # Cn|Cp) are ridge-degenerate — both samplers mix orders of
+    # magnitude faster along them, so their z rows separate "the
+    # implementations disagree" from "a finite chain wobbles along the
+    # ridge" (the GUI's secondary-parameters view exists for the same
+    # physics, reference GUI/secondary_parameters.py)
+    derived = {}
+    if {"mu_n", "mu_p"} <= set(ACTIVE):
+        derived["mu_ambi"] = lambda s: (2 * s["mu_n"] * s["mu_p"]
+                                        / (s["mu_n"] + s["mu_p"]))
+    if {"Sf", "Sb"} <= set(ACTIVE):
+        derived["Sf+Sb"] = lambda s: s["Sf"] + s["Sb"]
+    if {"Cn", "Cp"} <= set(ACTIVE):
+        derived["Cn+Cp"] = lambda s: s["Cn"] + s["Cp"]
+    rows = ([(p, None) for p in ACTIVE]
+            + [(name, fn) for name, fn in derived.items()])
+    for p, fn in rows:
+        if fn is None:
+            so = oracle_samples[p][burn_o:]
+            st = tpu_samples[p][burn_t:]
+            true_p = TRUE[p]
+        else:
+            so = fn({k: oracle_samples[k][burn_o:] for k in ACTIVE})
+            st = fn({k: tpu_samples[k][burn_t:] for k in ACTIVE})
+            true_p = float(fn({k: np.asarray(TRUE[k]) for k in ACTIVE}))
         lo = np.log10(so.ravel())
         lt = np.log10(st.ravel())
         mo, s_o = lo.mean(), lo.std()
@@ -1023,7 +1063,7 @@ def main():
         worst = max(worst, z)
         worst_mc = max(worst_mc, z_mc)
         lines.append(
-            f"| {p} | {TRUE[p]:.4g} | 10^({mo:.4f} +/- {s_o:.4f}) "
+            f"| {p} | {true_p:.4g} | 10^({mo:.4f} +/- {s_o:.4f}) "
             f"({e_o:.0f}) | 10^({mt:.4f} +/- {s_t:.4f}) ({e_t:.0f}) | "
             f"{z:.2f} | {z_mc:.2f} |")
     lines += [

@@ -475,6 +475,32 @@ def test_newton_divergence_predicate_wiring():
     assert plan_cfg.newton_div_tol == 0.5
 
 
+def test_wide_ball_escalation_zero_concessions():
+    """A +/-0.3-dex off-truth ball — the regime where the Newton
+    predicate false-positives on ~half of healthy states — must end with
+    ZERO -inf concessions under inline escalation (f32, fast mode): the
+    escalated h4/refine2/chord-free re-solve repairs every flagged row
+    (VERDICT r3 next #4)."""
+    import jax
+
+    sim_info, mcmc, e_data, iniPar = _synth()
+    pi = _param_info()
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar,
+                                 hmax=48.0, align_outputs=False,
+                                 refactor_every=4)
+    rng = np.random.default_rng(7)
+    names = pi["names"]
+    base = np.array([TRUE[n] for n in names])
+    active = np.array([n not in ("n0", "eps", "Tm") for n in names])
+    states = np.tile(base, (16, 1)) * 10.0 ** (
+        rng.uniform(-0.3, 0.3, (16, len(names))) * active[None, :])
+    out = jax.jit(make_eval_logll(plan, dtype=jnp.float32,
+                                  escalate="inline"))(
+        jnp.asarray(states, jnp.float32), jnp.asarray([1.0]))
+    assert int(out["n_solver_fail"]) == 0
+    assert np.isfinite(np.asarray(out["logll_T"])).all()
+
+
 def test_fail_states_per_state_counts():
     """fail_states reports diverged solves PER STATE so multi-ensemble
     drivers can escalate at per-ensemble granularity (VERDICT r3 weak
