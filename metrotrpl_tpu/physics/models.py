@@ -114,6 +114,20 @@ def _excess_product(dN, dP, p):
     return p.n0t * dP + p.p0t * dN + dN * dP
 
 
+def _signfloor(x, eps=1e-9):
+    """Floor |x| away from 0 PRESERVING sign. Used on the surface and
+    SRH denominators: physically both are strictly positive, but an f32
+    transient undershoot can cross zero and a literal 1/0 -> inf poisons
+    the solve with NaNs (docs/TPU_NOTES.md round-10). Keeping the sign
+    preserves the dynamics for genuinely negative (unphysical) inputs —
+    e.g. negative lifetimes anti-damp and blow up exactly like the
+    reference's LSODA, landing in the failure -> -inf channel — while
+    the eps magnitude only engages in the already-unphysical undershoot
+    regime where the clamp/negative-fraction predicates decide the
+    row's fate."""
+    return jnp.where(x >= 0, jnp.maximum(x, eps), jnp.minimum(x, -eps))
+
+
 def _fluxes(dN, dD, E, p):
     """Scaled electron edge current jn and sum current F = (Jn+Jp)/ns,
     both on the full nx+1 edge grid, antisymmetric-split form.
@@ -135,19 +149,10 @@ def _fluxes(dN, dD, E, p):
     Ntot = p.n0t + dN
     Ptot = p.p0t + dP
 
-    # Surface-recombination denominator floored away from 0: physically
-    # N + P > 0 strictly, but an f32 transient undershoot can cross it,
-    # and 1/0 -> inf poisons the whole solve with NaNs (measured at
-    # nx=128: ~half of +/-0.05-dex states NaN'd through this and the
-    # SRH denominator, docs/TPU_NOTES.md round-10). The floor only
-    # engages in the already-unphysical regime (healthy scaled N+P is
-    # O(1)), where the negative-fraction tolerance / clamp predicates
-    # decide the row's fate — identical math everywhere else.
-    def _pos(x):
-        return jnp.maximum(x, 1e-9)
-
-    s_front = p.sf * M[..., :1] / _pos(Ntot[..., :1] + Ptot[..., :1])
-    s_back = p.sb * M[..., -1:] / _pos(Ntot[..., -1:] + Ptot[..., -1:])
+    s_front = p.sf * M[..., :1] / _signfloor(Ntot[..., :1]
+                                             + Ptot[..., :1])
+    s_back = p.sb * M[..., -1:] / _signfloor(Ntot[..., -1:]
+                                             + Ptot[..., -1:])
 
     E_int = E[..., :-1]
     Ne = 0.5 * (Ntot[..., :-1] + Ntot[..., 1:])
@@ -172,11 +177,9 @@ def _fluxes(dN, dD, E, p):
 def _bulk_recombination(M, Ntot, Ptot, p):
     """Scaled Auger + radiative + SRH recombination rate R/ns.
 
-    The SRH denominator is floored like the surface one (_fluxes _pos
-    note): physically positive, floored only against f32 transient
-    undershoot NaNs."""
+    The SRH denominator uses the sign-preserving floor (_signfloor)."""
     rate = (p.cn_s * Ntot + p.cp_s * Ptot + p.ks_s
-            + 1.0 / jnp.maximum(p.tauN * Ptot + p.tauP * Ntot, 1e-9))
+            + 1.0 / _signfloor(p.tauN * Ptot + p.tauP * Ntot))
     return rate * M
 
 
@@ -319,10 +322,9 @@ def jac_std_planes(y, p):
     Ntot = p.n0t + dN
     Ptot = p.p0t + dP
     M = _excess_product(dN, dP, p)
-    # denominators floored exactly like the RHS (_fluxes /
-    # _bulk_recombination _pos note) so the Jacobian stays finite in the
-    # f32-undershoot regime the floors protect against
-    q = jnp.maximum(p.tauN * Ptot + p.tauP * Ntot, 1e-9)
+    # denominators floored exactly like the RHS (_signfloor) so the
+    # Jacobian stays finite in the f32-undershoot regime
+    q = _signfloor(p.tauN * Ptot + p.tauP * Ntot)
     inv_q2 = 1.0 / (q * q)
     rate = p.cn_s * Ntot + p.cp_s * Ptot + p.ks_s + 1.0 / q
     dR_dN = rate * (Ntot + Ptot) + M * (p.cn_s + p.cp_s
@@ -330,7 +332,7 @@ def jac_std_planes(y, p):
     dR_dD = rate * Ntot + M * (p.cp_s - p.tauN * inv_q2)
 
     # surface-recombination derivatives (meaningful at cells 0 / n-1 only)
-    S = jnp.maximum(Ntot + Ptot, 1e-9)
+    S = _signfloor(Ntot + Ptot)
     inv_S = 1.0 / S
     s_dN = 1.0 - 2.0 * M * inv_S * inv_S      # d(M/S)/ddN
     s_dD = (Ntot - M * inv_S) * inv_S         # d(M/S)/ddD
