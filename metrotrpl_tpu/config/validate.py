@@ -252,6 +252,19 @@ def validate_MCMC_fields(
                 raise ValueError(f"{tolkey} must be a positive value"
                                  + (" (or 0 for no step limit)"
                                     if tolkey == "hmax" else ""))
+    if "newton_div_tol" in MCMC_fields:
+        # the trust-region damping caps reported Newton residuals at
+        # solver.sdirk.NEWTON_DAMP, so a tolerance at/above the cap can
+        # never flag a diverged solve — it would silently disable the
+        # dynamic failure predicate (ADVICE r4 #3)
+        from metrotrpl_tpu.solver.sdirk import NEWTON_DAMP
+        if NEWTON_DAMP is not None and \
+                MCMC_fields["newton_div_tol"] >= NEWTON_DAMP:
+            raise ValueError(
+                "newton_div_tol must be below the Newton damping cap "
+                f"{NEWTON_DAMP} (damped residuals never exceed the cap, "
+                "so a threshold at or above it can never flag a diverged "
+                "solve)")
     for ckey in ("refactor_every", "ramp_block", "newton_plateau"):
         if ckey in MCMC_fields:
             v = MCMC_fields[ckey]

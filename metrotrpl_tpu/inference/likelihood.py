@@ -138,10 +138,41 @@ class LikelihoodPlan(NamedTuple):
     thickness: np.ndarray = None   # (M,) [nm], NN feature
     #: Newton-convergence failure threshold (see NEWTON_DIV_TOL for the
     #: calibration); configurable per plan/config since the O(1)-rescaled
-    #: residual scale is workload-dependent (VERDICT r3 weak #4)
-    newton_div_tol: float = NEWTON_DIV_TOL
+    #: residual scale is workload-dependent (VERDICT r3 weak #4).
+    #: None (the default) = resolve PER nx-GROUP at evaluation time via
+    #: :func:`newton_div_tol_default` — the healthy-residual floor is
+    #: grid-dependent, so a mixed-nx config needs each group judged at its
+    #: own grid's calibrated threshold (ADVICE r4 #2: resolving once from
+    #: max(nx) left coarse groups at the fine-grid tolerance, where
+    #: typical-zone partial collapses at resid >= 0.159 never flag)
+    newton_div_tol: Optional[float] = None
     #: escalation-gate fit-distance cut (see ESCALATE_GATE_SCORE)
     esc_gate_score: float = ESCALATE_GATE_SCORE
+
+
+def _resolve_newton_div_tol(v):
+    """Normalize a user-supplied newton_div_tol (None = per-group default).
+
+    The trust-region damping caps every reported Newton residual at
+    ``solver.sdirk.NEWTON_DAMP``, so a tolerance at or above the cap can
+    never flag (``resid < tol`` is always true for finite resid) and would
+    silently disable the dynamic failure predicate (ADVICE r4 #3). Config
+    files reject such values in validation (config/validate.py); direct
+    API callers get the same clamp here with a warning.
+    """
+    if v is None:
+        return None
+    from metrotrpl_tpu.solver.sdirk import NEWTON_DAMP
+    v = float(v)
+    if NEWTON_DAMP is not None and v >= NEWTON_DAMP:
+        import logging
+        clamped = 0.5 * float(NEWTON_DAMP)
+        logging.getLogger("MCMC").warning(
+            "newton_div_tol=%g >= the Newton damping cap %g would never "
+            "flag a diverged solve (damped residuals pin at the cap); "
+            "clamping to %g.", v, float(NEWTON_DAMP), clamped)
+        return clamped
+    return v
 
 
 def _fittable_index_map(spec, n_meas, param_idx, base):
@@ -427,13 +458,11 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
         log_y=bool(MCMC_fields["log_y"]),
         nn=nn,
         thickness=np.asarray(sim_info["lengths"], dtype=float),
-        # config knob (`newton_div_tol:` MCMC flag / TOML [solver] key)
-        # with the calibrated nx-aware default
-        newton_div_tol=float(
+        # config knob (`newton_div_tol:` MCMC flag / TOML [solver] key);
+        # None = per-nx-group calibrated default, resolved in the eval
+        newton_div_tol=_resolve_newton_div_tol(
             newton_div_tol if newton_div_tol is not None
-            else MCMC_fields.get(
-                "newton_div_tol",
-                newton_div_tol_default(max(int(n) for n in sim_info["nx"])))),
+            else MCMC_fields.get("newton_div_tol")),
         esc_gate_score=float(
             MCMC_fields.get("escalate_gate_score", ESCALATE_GATE_SCORE)),
     )
@@ -612,7 +641,7 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
     nt_exp = plan.exp_times.shape[1]
     init_profiles = jnp.asarray(plan.init_profiles, dtype)
     compare = _make_compare_pipeline(plan, dtype)
-    newton_div_tol = float(getattr(plan, "newton_div_tol", NEWTON_DIV_TOL))
+    plan_tol = getattr(plan, "newton_div_tol", None)
     esc_gate = float(getattr(plan, "esc_gate_score", ESCALATE_GATE_SCORE))
 
     model = groups[0][1].model
@@ -635,6 +664,10 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
         fail_states = jnp.zeros((K,), jnp.int32)
         for g_idx, fp, fp_hi in groups:
             Mg = len(g_idx)
+            # per-nx-group divergence threshold (plan override wins;
+            # ADVICE r4 #2 — each grid judged at its own calibration)
+            newton_div_tol = (float(plan_tol) if plan_tol is not None
+                              else newton_div_tol_default(fp.nx))
 
             def tile_g(a):  # (Mg, ...) -> (K*Mg, ...)
                 return jnp.tile(a, (K,) + (1,) * (a.ndim - 1))
@@ -716,10 +749,22 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
                 mk = tile_g(jnp.asarray(plan.exp_mask[g_idx][:, :nt_g]))
                 ok_pt = mk & jnp.isfinite(sol_g) & (sol_g > 10 * floor)
                 ls = jnp.log10(jnp.maximum(jnp.abs(sol_g), floor))
-                err2g = jnp.where(ok_pt, (ls - v) ** 2, 0.0)
+                # the fitted scale factor shifts the simulated curve
+                # before comparison (ADVICE r4 #1: omitting it scored
+                # every |log10 s| > ~0.5 config as hopeless-fit, which
+                # permanently closed the gate and disabled repair)
+                ss_g = jnp.log10(s_fact[:, g_idx]).reshape(K * Mg)
+                err2g = jnp.where(ok_pt,
+                                  (ls + ss_g[:, None] - v) ** 2, 0.0)
                 score = (jnp.sum(err2g, axis=-1)
                          / jnp.maximum(jnp.sum(ok_pt, axis=-1), 1))
-                gate = score < esc_gate
+                # IRF rows: the raw pointwise distance ignores the
+                # convolution/max-shift alignment the real likelihood
+                # applies, so the score is biased there — gate them IN
+                # (always repairable; conservative: extra repairs, never
+                # a wrongly-kept wrong ll) rather than score them wrong
+                irf_g = tile_g(jnp.asarray(plan.has_irf[g_idx]))
+                gate = (score < esc_gate) | irf_g
             else:
                 score = jnp.zeros(sol_g.shape[:1], dtype)
                 gate = jnp.ones(sol_g.shape[:1], bool)

@@ -453,13 +453,17 @@ def test_newton_divergence_predicate_wiring():
     sim_info, mcmc, e_data, iniPar = _synth()
     pi = _param_info()
     plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar)
-    assert plan.newton_div_tol == L.NEWTON_DIV_TOL
+    # None = resolve per nx-group at eval time (ADVICE r4 #2); this
+    # synth workload is nx=24, so the effective tol is the coarse-grid
+    # calibration value
+    assert plan.newton_div_tol is None
+    assert L.newton_div_tol_default(plan.fwd[0][1].nx) == L.NEWTON_DIV_TOL
 
     out = make_eval_logll(plan)(_state(pi), jnp.asarray([1.0]))
     assert np.isfinite(float(out["logll_T"][0, 0]))
     assert out["resid"].shape == (1, 1)
     r = float(out["resid"][0, 0])
-    assert 0 <= r < plan.newton_div_tol
+    assert 0 <= r < L.NEWTON_DIV_TOL
     assert int(out["n_solver_fail"]) == 0
 
     # impossible threshold: resid >= 0 always flags; the escalated
@@ -473,6 +477,56 @@ def test_newton_divergence_predicate_wiring():
     plan_cfg = build_likelihood_plan(
         sim_info, pi, dict(mcmc, newton_div_tol=0.5), e_data, iniPar)
     assert plan_cfg.newton_div_tol == 0.5
+
+
+def test_newton_div_tol_clamped_below_damping_cap():
+    """A tolerance at/above the Newton damping cap can never flag (damped
+    residuals pin at the cap), so the direct API clamps it with a warning
+    and config validation rejects it outright (ADVICE r4 #3)."""
+    from metrotrpl_tpu.config.validate import validate_MCMC_fields
+    from metrotrpl_tpu.solver.sdirk import NEWTON_DAMP
+
+    sim_info, mcmc, e_data, iniPar = _synth()
+    pi = _param_info()
+    plan = build_likelihood_plan(
+        sim_info, pi, dict(mcmc, newton_div_tol=NEWTON_DAMP + 1),
+        e_data, iniPar)
+    assert plan.newton_div_tol == 0.5 * NEWTON_DAMP
+
+    fields = {"init_cond_path": "a", "measurement_path": "b",
+              "output_path": "c", "num_iters": 10, "solver": ("sdirk",),
+              "model": "std", "ini_mode": "fluence", "log_y": 1,
+              "checkpoint_freq": 5, "model_uncertainty": 1.0,
+              "newton_div_tol": float(NEWTON_DAMP)}
+    with pytest.raises(ValueError, match="damping cap"):
+        validate_MCMC_fields(fields, 1, supported_solvers=("sdirk",))
+
+
+def test_escalation_gate_includes_scale_factor():
+    """The escalation gate's fit-distance score must apply the fitted
+    scale factor before comparing to the data (ADVICE r4 #1): a state
+    whose curve matches the data AFTER a 10^0.8 scale shift is a good
+    fit (score ~ 0, gate open), not a hopeless one."""
+    sim_info, mcmc, e_data, iniPar = _synth()
+    shift = 0.8
+    t, v, u = e_data
+    e_shift = ([t[0]], [v[0] + shift], [u[0]])
+    mcmc = dict(mcmc)
+    mcmc["scale_factor"] = [0.1, np.array([0]), None, [1.0]]
+    pi = _param_info(extra_names=["_s0"], extra={"_s0": 1.0})
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_shift, iniPar)
+    ev = make_eval_logll(plan)
+    temps = jnp.asarray([1.0])
+    score_right = float(
+        ev(_state(pi, _s0=10 ** shift), temps)["esc_score"][0, 0])
+    score_unscaled = float(
+        ev(_state(pi, _s0=1.0), temps)["esc_score"][0, 0])
+    from metrotrpl_tpu.inference.likelihood import ESCALATE_GATE_SCORE
+    # perfect fit after scaling -> score ~ solver error, far below gate
+    assert score_right < 1e-6
+    # without the factor applied the raw distance is ~shift^2 = 0.64,
+    # which the pre-fix gate would have misread as hopeless
+    assert score_unscaled > ESCALATE_GATE_SCORE
 
 
 def test_wide_ball_escalation_zero_concessions():
