@@ -164,6 +164,11 @@ def _resolve_newton_div_tol(v):
         return None
     from metrotrpl_tpu.solver.sdirk import NEWTON_DAMP
     v = float(v)
+    if np.isinf(v):
+        # explicit inf = intentional "disable the predicate" (probe /
+        # measurement use); only finite in-between values are the
+        # silent-misconfiguration trap the clamp guards against
+        return v
     if NEWTON_DAMP is not None and v >= NEWTON_DAMP:
         import logging
         clamped = 0.5 * float(NEWTON_DAMP)
@@ -371,9 +376,35 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
             esc_refine = (refine if (hm > esc_hm or refactor_every > 1
                                      or ramp_block > 1 or newton_plateau)
                           else refine * 2)
-            fwd.append((idx, _mk(refine),
-                        _mk(esc_refine, chord=False, hm_x=esc_hm)
-                        if escalate else None))
+            fp_hi = None
+            if escalate:
+                import jax as _jax
+                if nx_val >= 96 and _jax.config.jax_enable_x64:
+                    # fine-grid rung: FLOAT64-emulated solve at the base
+                    # chord envelope with 2x-refined steps, via the XLA
+                    # path. At nx=128 the stiff thin-sample/high-fluence
+                    # rows at high mobility pin the f32 damped Newton at
+                    # the cap at EVERY f32 rung (h16, h4, even gold
+                    # h4/refine2 — the flagship ridge-arm coverage gap,
+                    # docs/POSTERIOR_r07_flagship.md), while the same
+                    # states in emulated f64 converge to resid ~1e-3 and
+                    # match the LSODA oracle to |dll| <= 0.084
+                    # (scripts/probe_r14_ridge64.py). The refine-2x ramp
+                    # is what closes the early-time error (h-independent
+                    # |dll| 0.4-3.5 at refine 1).
+                    fp_hi = _mk(refine * 2)._replace(solve_dtype="float64")
+                else:
+                    if nx_val >= 96:
+                        import logging
+                        logging.getLogger("MCMC").warning(
+                            "jax_enable_x64 is off: the nx>=96 escalation "
+                            "rung falls back to float32 h<=16, which "
+                            "cannot repair the stiff high-mobility rows "
+                            "(flagship ridge arm stays uncovered). Enable "
+                            "x64 before building kernels for full "
+                            "coverage.")
+                    fp_hi = _mk(esc_refine, chord=False, hm_x=esc_hm)
+            fwd.append((idx, _mk(refine), fp_hi))
         fwd = tuple(fwd)
 
     if kind in ("pde", "nn"):
@@ -692,22 +723,32 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
                     init_profiles[g_idx] * 1e-21)  # [cm^-3]->[nm^-3]
 
             def run_solve(fp_x):
-                return solve_forward_batch(
-                    init_dN, raw,
-                    tile_g(jnp.asarray(fp_x.dx, dtype)),
-                    tile_g(jnp.asarray(fp_x.dt, dtype)),
+                # plan-level dtype override (the f64-emulated escalation
+                # rung, ForwardPlan.solve_dtype): solve in that dtype on
+                # the XLA path (Mosaic has no f64), cast results back to
+                # the walk dtype so lax.cond branch signatures match
+                sd = getattr(fp_x, "solve_dtype", None)
+                cdt = dtype if sd is None else jnp.dtype(sd)
+                bk = backend if sd is None else "xla"
+                sol_x, resid_x = solve_forward_batch(
+                    init_dN.astype(cdt),
+                    ({k: v.astype(cdt) for k, v in raw.items()}
+                     if sd is not None else raw),
+                    tile_g(jnp.asarray(fp_x.dx, cdt)),
+                    tile_g(jnp.asarray(fp_x.dt, cdt)),
                     tile_g(jnp.asarray(fp_x.out_idx)),
                     tile_g(jnp.asarray(fp_x.is_trpl)),
                     model=model, scheme=fp_x.scheme,
-                    newton_iters=fp_x.newton_iters, backend=backend,
+                    newton_iters=fp_x.newton_iters, backend=bk,
                     block_b=block_b, batch_mult=batch_mult,
                     out_w=(None if fp_x.out_w is None
-                           else tile_g(jnp.asarray(fp_x.out_w, dtype))),
+                           else tile_g(jnp.asarray(fp_x.out_w, cdt))),
                     refactor_every=fp_x.refactor_every,
                     n_ramp=fp_x.n_ramp,
                     ramp_block=fp_x.ramp_block,
                     newton_plateau=fp_x.newton_plateau,
                     with_diag=True)  # ((K*Mg, nt_g), (K*Mg,))
+                return sol_x.astype(dtype), resid_x.astype(dtype)
 
             sol_g, resid_g = run_solve(fp)
             floor = 4 * np.finfo(np.dtype(sol_g.dtype)).tiny

@@ -827,6 +827,17 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
     from metrotrpl_tpu.io.logging import start_logging, stop_logging
     from metrotrpl_tpu.ops.convolve import load_irf_tables
 
+    # enable x64 for the f64-emulated escalation rung (the fine-grid
+    # nx>=96 repair path, build_likelihood_plan): the walk itself stays
+    # f32 on accelerators (dtype policy below) — x64 only gates whether
+    # the flagged-row re-solve can run in emulated float64, which is what
+    # lets the flagship walk cover the stiff high-mobility ridge arm the
+    # f32 solver cannot (scripts/probe_r14_ridge64.py). The Pallas hot
+    # kernel traces with 32-bit canonicalization regardless
+    # (solver/pallas_step.py x64 scope). Opt out with use_x64=False.
+    if kwargs.get("use_x64", True) and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+
     make_dir(MCMC_fields["output_path"])
     logger, handler = start_logging(
         log_dir=MCMC_fields["output_path"],

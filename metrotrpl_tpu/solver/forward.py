@@ -107,6 +107,12 @@ class ForwardPlan(NamedTuple):
     newton_plateau: int = None  # Newton iterations per stage past n_ramp
                                 # (None = newton_iters; the slowly-varying
                                 # plateau usually converges in fewer)
+    solve_dtype: str = None     # execute this plan's solves in a specific
+                                # dtype regardless of the caller's walk
+                                # dtype (e.g. "float64" for the emulated
+                                # high-precision escalation rung — requires
+                                # jax_enable_x64; results are cast back).
+                                # None = caller's dtype.
 
 
 def make_forward_plan(lengths, nxes, meas_types, times_list, hmax=4.0,

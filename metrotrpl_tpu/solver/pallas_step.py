@@ -137,16 +137,23 @@ def _solve_kernel(dt_ref, y0_ref, par_ref, dx_ref, pl_ref, tr_ref, rs_ref, *,
             return y, pl_acc, tr_acc, rs_acc
         return body
 
+    # int32 loop bounds: under jax_enable_x64 python-int bounds make the
+    # fori index int64, which promotes the iota comparisons in the body to
+    # int64 — and BOTH the promotion and any corrective int64->int32 cast
+    # are conversions Mosaic cannot lower (infinite recursion in its
+    # convert_element_type rule). Step counts are << 2^31 by construction.
+    i32 = jnp.int32
     R = int(ramp_block) if n_ramp is not None else 1
     y, pl_acc, tr_acc, rs_acc = jax.lax.fori_loop(
-        0, n_phase1 // R, make_block_body(0, R, newton_iters),
+        i32(0), i32(n_phase1 // R), make_block_body(0, R, newton_iters),
         (y, pl0, tr0, rs0), unroll=False)
 
     if n_ramp is not None and n_ramp < n_steps:
         F = int(refactor_every)
         ni_p = newton_iters if newton_plateau is None else int(newton_plateau)
         y, pl_acc, tr_acc, rs_acc = jax.lax.fori_loop(
-            0, (n_steps - n_ramp) // F, make_block_body(n_ramp, F, ni_p),
+            i32(0), i32((n_steps - n_ramp) // F),
+            make_block_body(n_ramp, F, ni_p),
             (y, pl_acc, tr_acc, rs_acc), unroll=False)
 
     pl_ref[:] = pl_acc
@@ -171,6 +178,23 @@ def integrate_observables_pallas(params, y0, dts, dx, model="std",
     B, C, nx = y0.shape
     n_steps = dts.shape[0]
     dtype = y0.dtype
+    if jax.config.jax_enable_x64 and not interpret:
+        # Trace the kernel with 32-bit canonicalization even when the
+        # process runs x64 (the f64-emulated escalation rung requires
+        # jax_enable_x64 globally): under x64, python-float literals
+        # trace as weak f64 scalars and numpy ints as i64, producing
+        # convert/pad operands Mosaic cannot lower (infinite recursion in
+        # its convert_element_type rule / compile-helper abort). All
+        # kernel inputs are explicitly 32-bit, so scoping x64 off around
+        # the trace is semantics-preserving — verified bit-exact against
+        # the unscoped non-x64 trace.
+        with jax.enable_x64(False):
+            return integrate_observables_pallas(
+                params, y0, dts, dx, model=model, scheme_name=scheme_name,
+                newton_iters=newton_iters, block_b=block_b,
+                interpret=interpret, refactor_every=refactor_every,
+                n_ramp=n_ramp, ramp_block=ramp_block,
+                newton_plateau=newton_plateau)
     if B % block_b != 0:
         raise ValueError(f"batch {B} not divisible by block_b {block_b}")
     if (refactor_every <= 1 and ramp_block <= 1

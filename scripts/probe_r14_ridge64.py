@@ -138,14 +138,28 @@ def main():
             ("f64 h48/F4 h0=1e-5", 48.0, 4, 1, jnp.float64, "xla", 1e-5),
             ("f64 h48/F4 r2 h0=1e-4", 48.0, 4, 2, jnp.float64, "xla", 1e-4),
         ]
+    if "--prod" in sys.argv[1:]:
+        # the PRODUCTION integration: f32 Pallas base (traced through the
+        # x64 scope) + inline escalation whose nx>=96 rung is the
+        # f64-emulated refine-2 XLA solve (build_likelihood_plan under
+        # jax_enable_x64). PASS = all 8 ridge states finite with
+        # |dll| <= ~0.1 and the repair counted in esc diagnostics.
+        configs = [
+            ("PROD f32+f64rung", 48.0, 4, 1, jnp.float32, "auto"),
+        ]
     print(f"\noracle ll: {np.array2string(ll_o, precision=1)}\n", flush=True)
     for label, hm, rf, refine, dt, bk, *rest in configs:
+        prod = label.startswith("PROD")
         plan = build_likelihood_plan(
             sim_info, param_info, mcmc, e_data, iniPar, hmax=hm,
             align_outputs=False, refactor_every=rf, refine=refine,
-            escalate=False, h0=(rest[0] if rest else 1e-3))
+            escalate=prod, h0=(rest[0] if rest else 1e-3))
+        if prod:
+            assert plan.fwd[0][2] is not None
+            assert plan.fwd[0][2].solve_dtype == "float64", \
+                plan.fwd[0][2].solve_dtype
         ev = jax.jit(make_eval_logll(plan, dtype=dt, backend=bk,
-                                     escalate="off"))
+                                     escalate="inline" if prod else "off"))
         clock = time.perf_counter()
         out = ev(jnp.asarray(block, dt), jnp.asarray([1.0], dt))
         ll = np.asarray(out["logll_T"])[:, 0]
@@ -163,6 +177,15 @@ def main():
               f"[{run_s * 1e3:6.1f} ms/eval, compile {compile_s:.0f}s]",
               flush=True)
         print("   ll:", np.array2string(ll, precision=1), flush=True)
+        if prod:
+            score = np.asarray(out["esc_score"])
+            pm_ll = np.asarray(out["per_meas"])[:, :, 0]
+            for i in range(len(states)):
+                print(f"   state {i} (mu_n {states[i]['mu_n']:.0f}): "
+                      f"resid {np.array2string(resid[i], precision=2)} "
+                      f"score {np.array2string(score[i], precision=2)} "
+                      f"pm_ll {np.array2string(pm_ll[i], precision=0)}",
+                      flush=True)
 
 
 if __name__ == "__main__":

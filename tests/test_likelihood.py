@@ -529,6 +529,37 @@ def test_escalation_gate_includes_scale_factor():
     assert score_unscaled > ESCALATE_GATE_SCORE
 
 
+def test_f64_escalation_rung_at_fine_grids():
+    """At nx >= 96 with x64 enabled, the escalation rung is the
+    f64-emulated refine-2 solve on the XLA path (probe_r14_ridge64: the
+    f32 damped Newton pins at the cap on the stiff thin-sample rows at
+    high mobility at EVERY f32 rung, while emulated f64 at the fast
+    envelope matches LSODA to |dll| <= 0.084 at the flagship ridge
+    states). With x64 off the rung falls back to the f32 h<=16 ladder."""
+    import jax
+
+    sim_info, mcmc, e_data, iniPar = _synth(nx=96)
+    pi = _param_info()
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar,
+                                 hmax=48.0, align_outputs=False,
+                                 refactor_every=4)
+    _, fp, fp_hi = plan.fwd[0]
+    assert fp.solve_dtype is None
+    assert fp_hi.solve_dtype == "float64"
+    assert fp_hi.n_steps > fp.n_steps  # refine-2 ramp: the error lever
+
+    with jax.enable_x64(False):
+        plan32 = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar,
+                                       hmax=48.0, align_outputs=False,
+                                       refactor_every=4)
+    assert plan32.fwd[0][2].solve_dtype is None
+
+    # explicit inf disables the predicate without the cap clamp
+    plan_inf = build_likelihood_plan(
+        sim_info, pi, mcmc, e_data, iniPar, newton_div_tol=np.inf)
+    assert plan_inf.newton_div_tol == np.inf
+
+
 def test_wide_ball_escalation_zero_concessions():
     """A +/-0.3-dex off-truth ball — the regime where the Newton
     predicate false-positives on ~half of healthy states — must end with
