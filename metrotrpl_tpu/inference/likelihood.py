@@ -52,9 +52,24 @@ NEWTON_DIV_TOL = 0.1
 
 def newton_div_tol_default(nx_max):
     """nx-aware default for the Newton-divergence threshold (see
-    NEWTON_DIV_TOL calibration note)."""
-    return 1.0 if nx_max >= 96 else (NEWTON_DIV_TOL if nx_max <= 64
+    NEWTON_DIV_TOL calibration note). Round-5 recalibration at nx>=96
+    (scripts/probe_r16_stiffmap.py, 104 prior-box + ridge states x 6
+    meas vs emulated-f64 reference): 0.5 + the mu escalation trigger
+    (ESCALATE_MU_MODEL) has ZERO cold-relevant false negatives, where
+    the round-4 value 1.0 alone missed 15 decades-wrong sub-cap rows."""
+    return 0.5 if nx_max >= 96 else (NEWTON_DIV_TOL if nx_max <= 64
                                      else 0.3)
+
+
+#: Mobility escalation trigger for fine grids (MODEL units, nm^2/(V ns);
+#: = 40 cm^2/(V s)). probe_r14/r16 root cause: at nx=128 the f32 fast
+#: solve of thin-sample/high-fluence rows at high mobility can be
+#: decades-wrong with resid BELOW every usable tolerance (sub-cap false
+#: negatives start at mu_max ~ 50 cm^2/Vs; margin -> 40), so rows whose
+#: state sits in the high-mobility region are repaired by the f64 rung
+#: regardless of their residual. Only active when the escalation plan is
+#: the f64-emulated rung (an f32 rung cannot fix what it flags).
+ESCALATE_MU_MODEL = 40.0 * 1e5
 
 #: Escalation GATE: a Newton-flagged row is repaired (escalated re-solve)
 #: only when its fast solve's mean squared log10 distance to the data is
@@ -674,6 +689,7 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
     compare = _make_compare_pipeline(plan, dtype)
     plan_tol = getattr(plan, "newton_div_tol", None)
     esc_gate = float(getattr(plan, "esc_gate_score", ESCALATE_GATE_SCORE))
+    from metrotrpl_tpu.solver.sdirk import NEWTON_DAMP
 
     model = groups[0][1].model
 
@@ -812,8 +828,30 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
             score_full = score_full.at[:, g_idx].set(
                 score.reshape(K, Mg))
 
-            bad = fail_static(sol_g) | fail_resid(resid_g)    # (K*Mg,)
-            repair = bad & gate
+            hi_is_f64 = (fp_hi is not None
+                         and getattr(fp_hi, "solve_dtype", None)
+                         == "float64")
+            if hi_is_f64:
+                # f64-rung trigger (probe_r14/r16 calibration): static
+                # and cap-pinned rows repair UNGATED — their fast curve
+                # is garbage, so the fit-score gate would be judging
+                # noise (the round-4 gate wrongly blocked repair of
+                # cold-typical ridge rows exactly this way). Sub-cap
+                # residual flags and the high-mobility structural
+                # trigger keep the score gate: their curves are sane
+                # enough to score, and hot tempered chains at
+                # hopeless-fit states stay in the cheap deformed-tail
+                # semantics instead of firing the rung continuously.
+                pinned_g = ~(resid_g < 0.97 * float(NEWTON_DAMP))
+                mu_row = raw["mu_n"]
+                if "mu_p" in raw:
+                    mu_row = jnp.maximum(mu_row, raw["mu_p"])
+                mu_trig = mu_row > ESCALATE_MU_MODEL
+                repair = (fail_static(sol_g) | pinned_g
+                          | ((fail_resid(resid_g) | mu_trig) & gate))
+            else:
+                bad = fail_static(sol_g) | fail_resid(resid_g)  # (K*Mg,)
+                repair = bad & gate
             if fp_hi is not None and escalate == "inline":
                 # solver-failure escalation (reference converge_simulation,
                 # trial_move_evaluation.py:168-210): gated rows whose base
@@ -835,12 +873,28 @@ def make_eval_logll(plan, dtype=jnp.float64, backend="xla", block_b=None,
             # its finite-but-astronomical ll (~-7e7), which behaves like
             # -inf under MH acceptance but poisons any consumer that
             # reads the ll itself (resume carry, artifacts, logs).
-            concede = fail_static(sol_g) | (fail_resid(resid_g) & gate)
+            if hi_is_f64:
+                # post-repair: a row still static/cap-pinned after the
+                # f64 rung is genuinely unsolvable (none observed across
+                # the measured prior box) -> -inf like the reference's
+                # exception path. Sub-cap flags keep the gate semantics.
+                # resid_g/sol_g here are post-repair under inline (the
+                # jnp.where above) and the raw base outputs otherwise, so
+                # re-deriving pinned from resid_g is correct either way.
+                concede = (fail_static(sol_g)
+                           | ~(resid_g < 0.97 * float(NEWTON_DAMP))
+                           | (fail_resid(resid_g) & gate))
+            else:
+                concede = fail_static(sol_g) | (fail_resid(resid_g) & gate)
             sol_g = jnp.where(concede[:, None], jnp.nan, sol_g)
-            # the failure COUNTERS drive deferred escalation re-runs, so
-            # they count only REPAIRABLE failures (gated): hopeless-fit
-            # tail concessions are intentional -inf, not retry material
-            nfail_g = concede & gate
+            # the failure COUNTERS drive deferred escalation re-runs:
+            # legacy ladder counts repairable (gated) concessions; the
+            # f64 ladder counts, in the hot escalate-free kernel, every
+            # row the inline kernel WOULD repair (the deferred re-run
+            # must fire whenever the inline result would differ), and
+            # under inline the post-repair concessions (normally zero)
+            nfail_g = (repair if (hi_is_f64 and escalate != "inline")
+                       else concede & gate)
             n_solver_fail = n_solver_fail + jnp.sum(nfail_g,
                                                     dtype=jnp.int32)
             fail_states = fail_states + jnp.sum(

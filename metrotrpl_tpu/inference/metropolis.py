@@ -837,6 +837,8 @@ def metro(sim_info, iniPar, e_data, MCMC_fields, param_info, verbose=False,
     # (solver/pallas_step.py x64 scope). Opt out with use_x64=False.
     if kwargs.get("use_x64", True) and not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
+    from metrotrpl_tpu import enable_compile_cache
+    enable_compile_cache()
 
     make_dir(MCMC_fields["output_path"])
     logger, handler = start_logging(

@@ -232,7 +232,14 @@ def run_oracle_mh(t, vals, n_iters, partial_path=None, resume=None,
 
 
 def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0, refactor=1,
-               refine=1, newton_plateau=None, backend="auto"):
+               refine=1, newton_plateau=None, backend="auto", temper=0):
+    """temper=Kt > 0 runs the PRODUCTION tempered sampler instead of
+    untempered chains: `n_chains` independent ensembles of Kt
+    temperatures (ladder 2^0..2^(Kt-1), reference README.md:41-67
+    guidance, swap every 10), fused through vmap_ensembles; only each
+    ensemble's T=1 cold chain enters the returned samples — tempering
+    preserves the T=1 marginal exactly while mixing across the
+    mu_n/mu_p ridge orders of magnitude faster (VERDICT r4 ask #5)."""
     import jax
 
     # honor an explicit JAX_PLATFORMS (e.g. =cpu to run the compiled
@@ -240,6 +247,11 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0, refactor=1,
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
         jax.config.update("jax_platforms", plat)
+    # x64 gates the f64-emulated escalation rung (the nx>=96 repair path
+    # that covers the flagship ridge arm); the walk itself stays f32
+    jax.config.update("jax_enable_x64", True)
+    from metrotrpl_tpu import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from metrotrpl_tpu.inference.likelihood import build_likelihood_plan
@@ -268,37 +280,62 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0, refactor=1,
                                  newton_plateau=newton_plateau)
     mp = build_move_plan(param_info, mcmc)
     base_move = np.array([WIDTH if n in ACTIVE else 0.0 for n in NAMES])
-    temps = np.ones(n_chains)
 
     window = min(500, n_iters)
-    # inline escalation = production semantics: chord-mode solves that
-    # collapse at off-truth states (observed for mu ~ 30-70 at nx=32)
-    # re-run on the refined grid inside the kernel instead of being
-    # silently rejected — without it the tpu sampler cannot traverse
-    # ~1/3 of the full preset's posterior (docs/LL_AGREEMENT_r05.md)
-    kern = build_mh_kernel(plan, mp, temps, base_move, temper_freq=10,
-                           do_tempering=False, window=window,
-                           dtype=jnp.float32, escalate="inline",
-                           backend=backend)
-    states = jnp.asarray(np.tile(
-        [param_info["init_guess"][n] for n in NAMES], (n_chains, 1)),
-        jnp.float32)
-    ll = kern.init_ll(states)
-    hist_states = []
-    hist_accept = []
-    k = 0
+    init = np.array([param_info["init_guess"][n] for n in NAMES])
     key = jax.random.PRNGKey(SEED)
     clock = time.perf_counter()
-    while k < n_iters:
-        states, ll, _, _, _, hist = kern.run_window(states, ll,
-                                                 jnp.asarray(k), key)
-        hist_states.append(np.asarray(hist[0]))
-        hist_accept.append(np.asarray(hist[2]))
-        k += window
-        print(f"  tpu MH {k}/{n_iters} "
-              f"({n_chains * k / (time.perf_counter() - clock):.0f} "
-              "walker-steps/s)", flush=True)
-    h = np.concatenate(hist_states, axis=0)[:n_iters]   # (iters, K, P)
+    # inline escalation = production semantics: chord-mode solves that
+    # collapse at off-truth states (observed for mu ~ 30-70 at nx=32)
+    # re-run on the escalated plan inside the kernel instead of being
+    # silently rejected — without it the tpu sampler cannot traverse
+    # ~1/3 of the full preset's posterior (docs/LL_AGREEMENT_r05.md)
+    if temper:
+        from metrotrpl_tpu.inference.metropolis import vmap_ensembles
+        temps = 2.0 ** np.arange(int(temper))
+        E = n_chains            # independent tempered ensembles
+        kern = vmap_ensembles(build_mh_kernel(
+            plan, mp, temps, base_move, temper_freq=10,
+            do_tempering=True, window=window, dtype=jnp.float32,
+            escalate="inline", backend=backend, batch_mult=E))
+        states = jnp.asarray(np.tile(init, (E, len(temps), 1)),
+                             jnp.float32)
+        keys = jax.random.split(key, E)
+        ll = kern.init_ll(states)
+        hist_states = []
+        hist_accept = []
+        k = 0
+        while k < n_iters:
+            states, ll, _, _, _, hist = kern.run_window(
+                states, ll, jnp.asarray(k), keys)
+            # (E, window, K, P) -> cold chain only, (window, E, P)
+            hist_states.append(np.asarray(hist[0][:, :, 0]).swapaxes(0, 1))
+            hist_accept.append(np.asarray(hist[2][:, :, 0]).swapaxes(0, 1))
+            k += window
+            print(f"  tpu MH (tempered x{int(temper)}) {k}/{n_iters} "
+                  f"({E * len(temps) * k / (time.perf_counter() - clock):.0f}"
+                  " walker-steps/s)", flush=True)
+    else:
+        temps = np.ones(n_chains)
+        kern = build_mh_kernel(plan, mp, temps, base_move, temper_freq=10,
+                               do_tempering=False, window=window,
+                               dtype=jnp.float32, escalate="inline",
+                               backend=backend)
+        states = jnp.asarray(np.tile(init, (n_chains, 1)), jnp.float32)
+        ll = kern.init_ll(states)
+        hist_states = []
+        hist_accept = []
+        k = 0
+        while k < n_iters:
+            states, ll, _, _, _, hist = kern.run_window(states, ll,
+                                                     jnp.asarray(k), key)
+            hist_states.append(np.asarray(hist[0]))
+            hist_accept.append(np.asarray(hist[2]))
+            k += window
+            print(f"  tpu MH {k}/{n_iters} "
+                  f"({n_chains * k / (time.perf_counter() - clock):.0f} "
+                  "walker-steps/s)", flush=True)
+    h = np.concatenate(hist_states, axis=0)[:n_iters]   # (iters, K|E, P)
     acc = np.concatenate(hist_accept, axis=0)[:n_iters]
     samples = {p: h[:, :, NAMES.index(p)] for p in ACTIVE}
     return samples, float(acc.mean())
@@ -314,17 +351,20 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0, refactor=1,
 #: (solver.sdirk.NEWTON_DAMP), nx-aware NEWTON_DIV_TOL default
 #: (0.1 at nx<=64, 1.0 at nx>=96), nx-aware escalation rung
 #: (h<=4 / h<=16, chord-free, base refine), and the deterministic
-#: fit-score escalation gate, docs/TPU_NOTES.md round-10)
-TPU_SAMPLER_REV = 4
+#: fit-score escalation gate, docs/TPU_NOTES.md round-10; rev 5:
+#: round-5 f64-emulated escalation rung at nx>=96 — the walk can now
+#: cover the high-mobility ridge arm the f32 ladder could not
+#: (scripts/probe_r14_ridge64.py) — plus the scale-aware gate score)
+TPU_SAMPLER_REV = 5
 
 
 def _cached_tpu_mh(t, vals, n_iters, hmax, refactor, refine=1, n_chains=8,
-                   newton_plateau=None):
+                   newton_plateau=None, temper=0):
     """Cache the tpu half like the oracle half: the two are independent,
     so the tpu chain can run (on the idle accelerator) while the oracle
     extends (on the host core), and the final z-test assembles both from
-    cache. Non-default refine/n_chains/newton_plateau extend the key
-    (conditionally, so existing default-shape caches stay valid)."""
+    cache. Non-default refine/n_chains/newton_plateau/temper extend the
+    key (conditionally, so existing default-shape caches stay valid)."""
     import hashlib
 
     consts = repr((NX, NT, T_END, LENGTHS, sorted(TRUE.items()), ACTIVE,
@@ -334,7 +374,8 @@ def _cached_tpu_mh(t, vals, n_iters, hmax, refactor, refine=1, n_chains=8,
                   + ((refine, n_chains)
                      if (refine != 1 or n_chains != 8) else ())
                   + (("np", newton_plateau)
-                     if newton_plateau is not None else ()))
+                     if newton_plateau is not None else ())
+                  + (("temper", temper) if temper else ()))
     tag = hashlib.sha1(consts.encode()).hexdigest()[:10]
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          f".tpu_mh_{n_iters}_{SEED}_{tag}.npz")
@@ -345,7 +386,7 @@ def _cached_tpu_mh(t, vals, n_iters, hmax, refactor, refine=1, n_chains=8,
     samples, acc = run_tpu_mh(t, vals, n_iters, hmax=hmax,
                               refactor=refactor, refine=refine,
                               n_chains=n_chains,
-                              newton_plateau=newton_plateau)
+                              newton_plateau=newton_plateau, temper=temper)
     np.savez(cache, acc=acc, **samples)
     return samples, acc
 
@@ -911,9 +952,17 @@ def main():
     n_chains = 8
     if "--chains" in argv:
         # --chains K: untempered tpu chain count (default 8; the
-        # flagship preset uses 32 for an order-of-magnitude ESS gain)
+        # flagship preset uses 32 for an order-of-magnitude ESS gain).
+        # With --temper, K = number of independent tempered ensembles.
         i = argv.index("--chains")
         n_chains = int(argv[i + 1])
+        del argv[i:i + 2]
+    temper = 0
+    if "--temper" in argv:
+        # --temper Kt: production tempered sampler with a 2^0..2^(Kt-1)
+        # ladder; only cold (T=1) chains enter the comparison
+        i = argv.index("--temper")
+        temper = int(argv[i + 1])
         del argv[i:i + 2]
     gold_check = 0
     if "--gold-check" in argv:
@@ -970,11 +1019,12 @@ def main():
         return
     if tpu_only:
         # warm the tpu cache without touching the host-core oracle
-        _cached_tpu_mh(t, vals, n_tpu, hmax, refactor, n_chains=n_chains)
+        _cached_tpu_mh(t, vals, n_tpu, hmax, refactor, n_chains=n_chains,
+                       temper=temper)
         return
     print("running tpu MH...", flush=True)
     tpu_samples, tpu_acc = _cached_tpu_mh(t, vals, n_tpu, hmax, refactor,
-                                          n_chains=n_chains)
+                                          n_chains=n_chains, temper=temper)
     print("running oracle MH...", flush=True)
     oracle_samples, oracle_acc = oracle_half()
 
@@ -1009,10 +1059,14 @@ def main():
         f"  mode, hmax={hmax:g}"
         + (f", chord refactor_every={refactor}" if refactor > 1
            else "")
-        + f"), {n_chains} untempered chains x {n_tpu} "
-        f"iterations, burn-in "
+        + (f"), {n_chains} independent PRODUCTION-tempered ensembles "
+           f"(ladder 2^0..2^{temper - 1}, swap/10; cold T=1 chains "
+           f"compared) x {n_tpu} " if temper
+           else f"), {n_chains} untempered chains x {n_tpu} ")
+        + "iterations, burn-in "
         f"{burn_t},",
-        f"  acceptance {tpu_acc:.2f}.",
+        f"  acceptance {tpu_acc:.2f}"
+        + (" (cold chains)." if temper else "."),
         "",
         "| param | truth | oracle mean +/- sigma (ESS) | "
         "tpu mean +/- sigma (ESS) | |z| | |z_mc| |",
@@ -1084,7 +1138,8 @@ def main():
         + (f" --refactor {refactor}" if refactor > 1 else "")
         + (f" --ridge {ridge_warm}" if ridge_warm else "")
         + (f" --tpu-ridge {tpu_ridge}" if tpu_ridge else "")
-        + (f" --chains {n_chains}" if n_chains != 8 else "") + "`.",
+        + (f" --chains {n_chains}" if n_chains != 8 else "")
+        + (f" --temper {temper}" if temper else "") + "`.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", outname)

@@ -28,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_enable_x64", True)
+from metrotrpl_tpu import enable_compile_cache  # noqa: E402
+enable_compile_cache()
 import jax.numpy as jnp  # noqa: E402
 
 import posterior_compare as pc  # noqa: E402

@@ -82,6 +82,7 @@ def main():
     rows = np.array([(w, c, m, r, s, sc) for w, c, m, r, s, sc in rows],
                     dtype=float)
     w_, c_, m_, resid, inf_row, score = rows.T
+    inf_row = inf_row.astype(bool)
     pinned = ~(resid < NEWTON_DAMP * 0.97)
     flag10 = ~(resid < 1.0)
     flag18 = ~(resid < 1.8)

@@ -560,6 +560,34 @@ def test_f64_escalation_rung_at_fine_grids():
     assert plan_inf.newton_div_tol == np.inf
 
 
+def test_mu_trigger_fires_f64_rung():
+    """The high-mobility structural trigger (ESCALATE_MU_MODEL, 40
+    cm^2/Vs): at nx>=96 a state above the threshold counts as
+    repair-needing in the escalate-free hot kernel (its deferred re-run
+    must fire — the f32 fast solve there can be decades-wrong with a
+    sub-tolerance residual, probe_r16), repairs cleanly under inline,
+    and a low-mobility state fires nothing."""
+    import jax
+
+    sim_info, mcmc, e_data, iniPar = _synth(nx=96, nt=11, t_end=200.0)
+    pi = _param_info()
+    plan = build_likelihood_plan(sim_info, pi, mcmc, e_data, iniPar,
+                                 hmax=48.0, align_outputs=False,
+                                 refactor_every=4)
+    assert plan.fwd[0][2].solve_dtype == "float64"
+    ev_off = jax.jit(make_eval_logll(plan, escalate="off"))
+    ev_in = jax.jit(make_eval_logll(plan, escalate="inline"))
+    temps = jnp.asarray([1.0])
+
+    lo = ev_off(_state(pi, mu_n=20.0, mu_p=20.0), temps)
+    assert int(lo["n_solver_fail"]) == 0
+    hi = ev_off(_state(pi, mu_n=60.0, mu_p=20.0), temps)
+    assert int(hi["n_solver_fail"]) >= 1  # deferred re-run must fire
+    hi_in = ev_in(_state(pi, mu_n=60.0, mu_p=20.0), temps)
+    assert int(hi_in["n_solver_fail"]) == 0  # repaired, not conceded
+    assert np.isfinite(float(hi_in["logll_T"][0, 0]))
+
+
 def test_wide_ball_escalation_zero_concessions():
     """A +/-0.3-dex off-truth ball — the regime where the Newton
     predicate false-positives on ~half of healthy states — must end with
