@@ -395,19 +395,25 @@ def build_likelihood_plan(sim_info, param_info, MCMC_fields, e_data, iniPar,
             if escalate:
                 import jax as _jax
                 if nx_val >= 96 and _jax.config.jax_enable_x64:
-                    # fine-grid rung: FLOAT64-emulated solve at the base
-                    # chord envelope with 2x-refined steps, via the XLA
-                    # path. At nx=128 the stiff thin-sample/high-fluence
-                    # rows at high mobility pin the f32 damped Newton at
-                    # the cap at EVERY f32 rung (h16, h4, even gold
-                    # h4/refine2 — the flagship ridge-arm coverage gap,
+                    # fine-grid rung: FLOAT64-emulated h<=16 chord-free
+                    # solve via the XLA path. At nx=128 the stiff
+                    # thin-sample/high-fluence rows at high mobility pin
+                    # the f32 damped Newton at the cap at EVERY f32 rung
+                    # (h16, h4, even gold h4/refine2 — the flagship
+                    # ridge-arm coverage gap,
                     # docs/POSTERIOR_r07_flagship.md), while the same
                     # states in emulated f64 converge to resid ~1e-3 and
-                    # match the LSODA oracle to |dll| <= 0.084
-                    # (scripts/probe_r14_ridge64.py). The refine-2x ramp
-                    # is what closes the early-time error (h-independent
-                    # |dll| 0.4-3.5 at refine 1).
-                    fp_hi = _mk(refine * 2)._replace(solve_dtype="float64")
+                    # match the LSODA oracle to |dll| <= 0.118 at h16/F1
+                    # (0.084 at the chord refine-2 variant, whose
+                    # 4-step-unrolled blocks however compile a ~4x
+                    # larger XLA program — enough to wedge the remote
+                    # compiler inside the window scan; h16/F1's plain
+                    # per-step body keeps the kernel compilable at the
+                    # same measured accuracy class —
+                    # scripts/probe_r14_ridge64.py).
+                    fp_hi = _mk(refine, chord=False,
+                                hm_x=min(hm, 16.0))._replace(
+                                    solve_dtype="float64")
                 else:
                     if nx_val >= 96:
                         import logging

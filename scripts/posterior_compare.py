@@ -291,26 +291,37 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0, refactor=1,
     # silently rejected — without it the tpu sampler cannot traverse
     # ~1/3 of the full preset's posterior (docs/LL_AGREEMENT_r05.md)
     if temper:
-        from metrotrpl_tpu.inference.metropolis import vmap_ensembles
         temps = 2.0 ** np.arange(int(temper))
         E = n_chains            # independent tempered ensembles
-        kern = vmap_ensembles(build_mh_kernel(
+        # SEQUENTIAL ensembles through one compiled single-ensemble
+        # kernel (run_ensembles_sequential schedule): the E window calls
+        # dispatch asynchronously so the chip runs them gaplessly, the
+        # program stays small (the vmapped variant with the f64
+        # escalation branch is the largest program in the codebase), and
+        # the escalation lax.cond stays a REAL branch — ensembles whose
+        # window never touches the stiff region skip the f64 solve
+        # entirely instead of paying the vmapped select on every call.
+        kern = build_mh_kernel(
             plan, mp, temps, base_move, temper_freq=10,
             do_tempering=True, window=window, dtype=jnp.float32,
-            escalate="inline", backend=backend, batch_mult=E))
-        states = jnp.asarray(np.tile(init, (E, len(temps), 1)),
-                             jnp.float32)
+            escalate="inline", backend=backend)
+        states = [jnp.asarray(np.tile(init, (len(temps), 1)), jnp.float32)
+                  for _ in range(E)]
         keys = jax.random.split(key, E)
-        ll = kern.init_ll(states)
+        ll = [kern.init_ll(s) for s in states]
         hist_states = []
         hist_accept = []
         k = 0
         while k < n_iters:
-            states, ll, _, _, _, hist = kern.run_window(
-                states, ll, jnp.asarray(k), keys)
-            # (E, window, K, P) -> cold chain only, (window, E, P)
-            hist_states.append(np.asarray(hist[0][:, :, 0]).swapaxes(0, 1))
-            hist_accept.append(np.asarray(hist[2][:, :, 0]).swapaxes(0, 1))
+            outs = [kern.run_window(states[e], ll[e], jnp.asarray(k),
+                                    keys[e]) for e in range(E)]
+            states = [o[0] for o in outs]
+            ll = [o[1] for o in outs]
+            # per-ensemble (window, K, P) -> cold chain, (window, E, P)
+            hist_states.append(np.stack(
+                [np.asarray(o[5][0][:, 0]) for o in outs], axis=1))
+            hist_accept.append(np.stack(
+                [np.asarray(o[5][2][:, 0]) for o in outs], axis=1))
             k += window
             print(f"  tpu MH (tempered x{int(temper)}) {k}/{n_iters} "
                   f"({E * len(temps) * k / (time.perf_counter() - clock):.0f}"
