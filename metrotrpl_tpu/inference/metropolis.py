@@ -167,6 +167,20 @@ def run_ensembles_sequential(kernel, states_E, ll_E, k0, keys_E,
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
 
 
+def _plan_has_f64_rung(like_plan):
+    """True when any nx-group's escalation plan is the f64-emulated rung.
+    The fused-inline adaptive switch must NOT engage then: under vmap the
+    escalation cond lowers to a select that would run the emulated-f64
+    solve for every ensemble on every call (~6x the fast eval), and the
+    vmapped program with the f64 branch is large enough to wedge the
+    remote compiler. Per-ensemble deferred re-runs through the
+    single-ensemble inline kernel (a real lax.cond) stay the production
+    schedule for such plans."""
+    return any(
+        fh is not None and getattr(fh, "solve_dtype", None) == "float64"
+        for _, _, fh in (like_plan.fwd or ()))
+
+
 def _restore_carried_ll(ensembles, K):
     """The (K, K) tempered ll matrix each chain carried at checkpoint
     time, or None if any replica lacks one (pre-carried-ll pickles,
@@ -316,12 +330,16 @@ def run_mh_fused(ensembles, like_plan, move_plan, logger, seeds,
             out = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
             states_E, ll_E, swap_att, swap_acc, nfail, hist = out
             esc_streak += 1
-            if esc_streak >= 3:
+            if esc_streak >= 3 and not _plan_has_f64_rung(like_plan):
                 # persistent escalation across windows (tempered hot
                 # chains): a fused INLINE kernel beats E serial deferred
                 # re-runs — under vmap the escalation cond lowers to a
                 # batched select (both branches run), which is exactly
-                # right when it would fire every window anyway
+                # right when it would fire every window anyway. NOT for
+                # f64-rung plans (_plan_has_f64_rung): the select would
+                # pay the emulated-f64 solve on every call and the
+                # vmapped program wedges the compiler — per-ensemble
+                # deferred re-runs stay the schedule there.
                 logger.info(
                     "3 consecutive windows needed escalation; switching "
                     "to the fused inline-escalation kernel")
