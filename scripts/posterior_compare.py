@@ -232,7 +232,8 @@ def run_oracle_mh(t, vals, n_iters, partial_path=None, resume=None,
 
 
 def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0, refactor=1,
-               refine=1, newton_plateau=None, backend="auto", temper=0):
+               refine=1, newton_plateau=None, backend="auto", temper=0,
+               partial_path=None):
     """temper=Kt > 0 runs the PRODUCTION tempered sampler instead of
     untempered chains: `n_chains` independent ensembles of Kt
     temperatures (ladder 2^0..2^(Kt-1), reference README.md:41-67
@@ -326,6 +327,16 @@ def run_tpu_mh(t, vals, n_iters, n_chains=8, hmax=16.0, refactor=1,
             print(f"  tpu MH (tempered x{int(temper)}) {k}/{n_iters} "
                   f"({E * len(temps) * k / (time.perf_counter() - clock):.0f}"
                   " walker-steps/s)", flush=True)
+            if partial_path:
+                # harvestable progress snapshot (the full cache is only
+                # written on completion; the flagship tempered leg runs
+                # ~2 iters/s through the inline f64-rung kernel, so a
+                # deadline harvest must not lose the completed windows)
+                hp = np.concatenate(hist_states, axis=0)[:k]
+                ap = np.concatenate(hist_accept, axis=0)[:k]
+                np.savez(partial_path, n_done=min(k, n_iters),
+                         acc=float(ap.mean()),
+                         **{p: hp[:, :, NAMES.index(p)] for p in ACTIVE})
     else:
         temps = np.ones(n_chains)
         kern = build_mh_kernel(plan, mp, temps, base_move, temper_freq=10,
@@ -397,7 +408,8 @@ def _cached_tpu_mh(t, vals, n_iters, hmax, refactor, refine=1, n_chains=8,
     samples, acc = run_tpu_mh(t, vals, n_iters, hmax=hmax,
                               refactor=refactor, refine=refine,
                               n_chains=n_chains,
-                              newton_plateau=newton_plateau, temper=temper)
+                              newton_plateau=newton_plateau, temper=temper,
+                              partial_path=cache + ".partial.npz")
     np.savez(cache, acc=acc, **samples)
     return samples, acc
 
